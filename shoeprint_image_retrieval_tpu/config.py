@@ -1,0 +1,121 @@
+"""Config loading for the TPU shoeprint-retrieval framework.
+
+Parses the same ``run.toml`` schema as the reference (reference:
+src/shoeprint_image_retrieval/config.py:11-64 and run.toml:1-25), including
+the ``""`` -> ``None`` normalization for ``comparison.rotations`` /
+``comparison.scales`` (reference config.py:60-63), plus an *optional*
+``[tpu]`` section with TPU-specific extensions. A reference run.toml loads
+unchanged and gets all TPU defaults.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from pathlib import Path
+from typing import Literal, TypedDict
+
+DatasetType = Literal["FID-300", "Impress", "WVU2019"]
+
+
+class DatasetConfig(TypedDict, total=True):
+    """Dataset section (reference config.py:11-20)."""
+
+    dir: str
+    type: DatasetType
+    crop: list[float]
+    n_processes: int
+    n_clusters: int
+    cluster_minimise_tolerance: float
+
+
+class ModelConfig(TypedDict, total=True):
+    """Model section (reference config.py:23-33)."""
+
+    type: str
+    clahe_clip_limit: float
+    clahe_tile_grid_size: list[int]
+    start_block: int
+    end_block: int
+    skip_blocks: list[int]
+    minimum_dim: int
+    maximum_dim: int
+
+
+class ComparisonConfig(TypedDict, total=True):
+    """Comparison section (reference config.py:36-41)."""
+
+    n_processes: int
+    rotations: list[int] | None
+    scales: list[float] | None
+
+
+class TpuConfig(TypedDict, total=True):
+    """TPU-specific extensions (new; absent in the reference).
+
+    Keys:
+        mesh_shape: devices along the ``gallery`` sharding axis; 0 = all
+            available devices.
+        precision: ``"float32"`` (default; needed for ranking-stable NCC) or
+            ``"bfloat16"`` for backbone convs.
+        cache_dir: on-disk spill directory for the gallery feature cache
+            ("" disables spilling). The reference gestured at this with its
+            gitignored ``Memmaps/``/``*.npy`` entries (reference .gitignore:3-8)
+            but shipped no cache code.
+        variant_mode: ``"reference"`` reproduces the reference's transform
+            variant set — originals + {originals ∪ rotations} × scales, i.e.
+            rotated-but-unscaled variants are never scored (reference
+            similarity.py:321-353 composition quirk); ``"full"`` scores the
+            corrected full cross product {originals ∪ rotations} × ({1} ∪ scales).
+        extraction_batch: max images per batched feature-extraction step.
+        fft_backend: ``"xla"`` (jnp.fft) today; reserved for a Pallas FFT.
+    """
+
+    mesh_shape: int
+    precision: str
+    cache_dir: str
+    variant_mode: str
+    extraction_batch: int
+    fft_backend: str
+
+
+class Config(TypedDict, total=True):
+    """Full system config (reference config.py:44-48 + ``tpu`` extension)."""
+
+    dataset: DatasetConfig
+    model: ModelConfig
+    comparison: ComparisonConfig
+    tpu: TpuConfig
+
+
+_TPU_DEFAULTS: TpuConfig = {
+    "mesh_shape": 0,
+    "precision": "float32",
+    "cache_dir": "",
+    "variant_mode": "reference",
+    "extraction_batch": 8,
+    "fft_backend": "xla",
+}
+
+
+def load_config(config_file: Path | str) -> Config:
+    """Load a run.toml file with reference-compatible semantics.
+
+    Reproduces reference config.py:51-64: plain TOML parse plus coercion of
+    the empty string to ``None`` for ``comparison.rotations`` and
+    ``comparison.scales``. Unknown keys in known sections are preserved;
+    the ``[tpu]`` section is optional and defaulted.
+    """
+    with Path(config_file).open("rb") as fh:
+        raw = tomllib.load(fh)
+
+    comparison = raw.get("comparison", {})
+    if comparison.get("rotations") == "":
+        comparison["rotations"] = None
+    if comparison.get("scales") == "":
+        comparison["scales"] = None
+
+    tpu = dict(_TPU_DEFAULTS)
+    tpu.update(raw.get("tpu", {}))
+    raw["tpu"] = tpu
+
+    return raw  # type: ignore[return-value]
