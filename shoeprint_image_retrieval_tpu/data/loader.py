@@ -1,0 +1,79 @@
+"""Host image ingest: decode, crop, Lanczos resize, canvas packing.
+
+The reference forks ``n_processes`` OS processes that fill Manager lists
+(with a chunking bug and a shared-list corruption workaround — reference
+dataloader.py:115-253, SURVEY.md section 2.1). Here ingest is a thread pool
+(PIL decode releases the GIL; one process, no shared-memory races — the race
+class the reference's run.toml comments complain about simply cannot occur)
+feeding zero-padded uint8 canvases + valid sizes straight into the jitted
+device pipeline (CLAHE -> normalize -> CNN).
+
+Per-image semantics match the reference exactly: crop box
+``floor(h*crop[0]) / floor(w*crop[1])`` per edge, resize to
+``(int(w*scale), int(h*scale))`` with PIL LANCZOS (reference
+dataloader.py:218-237). Decode errors raise with the offending filename
+instead of corrupting shared state (SURVEY.md section 5: failure detection).
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+
+def load_one(
+    path: Path, scale: float, crop: Sequence[float]
+) -> np.ndarray:
+    """Decode + crop + LANCZOS-resize one image to uint8 (reference
+    dataloader.py:212-237 semantics)."""
+    try:
+        with Image.open(path) as im:
+            crop_h = math.floor(im.height * crop[0])
+            crop_w = math.floor(im.width * crop[1])
+            im = im.crop((crop_w, crop_h, im.width - crop_w, im.height - crop_h))
+            new_w = int(im.width * scale)
+            new_h = int(im.height * scale)
+            im = im.resize((new_w, new_h), Image.Resampling.LANCZOS)
+            return np.asarray(im)
+    except Exception as exc:  # surface failures at ingest, never corrupt state
+        raise RuntimeError(f"failed to ingest image {path}: {exc}") from exc
+
+
+def load_images(
+    directory: Path | str,
+    files: Sequence[str],
+    scale: float,
+    crop: Sequence[float],
+    n_threads: int = 8,
+) -> list[np.ndarray]:
+    """Parallel ingest preserving ``files`` order."""
+    directory = Path(directory)
+    with ThreadPoolExecutor(max_workers=max(1, n_threads)) as pool:
+        return list(pool.map(lambda f: load_one(directory / f, scale, crop), files))
+
+
+def pack_canvas(
+    images: Sequence[np.ndarray], canvas_hw: tuple[int, int] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad images onto one canvas -> (batch u8, valid (B,2) int32).
+
+    The canvas is the shape bucket that lets one XLA compilation serve the
+    whole cluster (SURVEY.md section 7 design stance).
+    """
+    if canvas_hw is None:
+        canvas_hw = (
+            max(im.shape[0] for im in images),
+            max(im.shape[1] for im in images),
+        )
+    extra = images[0].shape[2:]  # () for gray, (3,) for RGB
+    batch = np.zeros((len(images), *canvas_hw, *extra), np.uint8)
+    valid = np.zeros((len(images), 2), np.int32)
+    for i, im in enumerate(images):
+        batch[i, : im.shape[0], : im.shape[1]] = im
+        valid[i] = im.shape[:2]
+    return batch, valid

@@ -1,0 +1,268 @@
+"""The retrieval pipeline: cluster-at-a-time, one XLA compile per stage.
+
+TPU-first restructuring of the reference driver loop (reference run.py:17-34
++ similarity.py:129-375):
+
+* ingest on host threads (data/loader.py) -> zero-padded uint8 canvases;
+* jitted preprocessing: dynamic-extent CLAHE + normalization (ops/clahe.py,
+  ops/preprocess.py);
+* jitted batched masked extraction through the truncated backbone
+  (models/*) — exact equal to the reference's per-image loop;
+* gallery cache: demeaned-print FFTs + integral images built once per
+  cluster, reused across every query and variant (ops/ncc.py);
+* per query: a device-built variant stack (host-planned PIL-exact rotation
+  gathers + resize matrices, ops/warp.py) scored by the batched NCC kernel;
+  max over variants -> score row -> rank (metrics.py).
+
+Shapes are static per cluster (canvas buckets) with per-image valid extents
+traced — so each cluster costs a handful of compilations regardless of how
+many distinct image sizes it contains.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.discovery import Dataset
+from ..data.loader import load_images, pack_canvas
+from ..data.planner import PlannerConfig, plan_clusters, read_header_sizes
+from ..metrics import ranks_from_scores
+from ..models.registry import get_backbone
+from ..models.weights import load_or_init_params
+from ..ops.clahe import clahe_batched_dynamic
+from ..ops.ncc import GalleryCache, build_gallery_cache, score_templates
+from ..ops.preprocess import normalize_batch
+from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
+from ..utils.tracing import stage_timer
+
+
+@dataclass
+class ClusterOutput:
+    ranks: np.ndarray
+    matching_pairs: list[int]
+    n_queries: int
+    block: int
+    scale: float
+
+
+class Pipeline:
+    """End-to-end retrieval for one config (the reference's run.py loop)."""
+
+    def __init__(self, config: Config, weights_dir: str | None = "weights", verbose: bool = True):
+        self.config = config
+        self.verbose = verbose
+        self.dataset = Dataset(config["dataset"]["dir"], config["dataset"]["type"])
+        if verbose:
+            print(self.dataset.summary())
+
+        model_cfg = config["model"]
+        self.spec = get_backbone(model_cfg["type"])
+        self.weights_dir = weights_dir
+        self._param_cache: dict[int, tuple] = {}
+
+        planner_cfg = PlannerConfig(
+            minimum_dim=model_cfg["minimum_dim"],
+            maximum_dim=model_cfg["maximum_dim"],
+            start_block=model_cfg["start_block"],
+            end_block=model_cfg["end_block"],
+            skip_blocks=tuple(model_cfg["skip_blocks"]),
+            cluster_tolerance=config["dataset"]["cluster_minimise_tolerance"],
+        )
+        crop = config["dataset"]["crop"]
+        q_sizes = read_header_sizes(self.dataset.query_dir, self.dataset.query_files)
+        g_sizes = read_header_sizes(self.dataset.gallery_dir, self.dataset.gallery_files)
+        self.plans = plan_clusters(
+            q_sizes, self.dataset.query_files, g_sizes, crop,
+            config["dataset"]["n_clusters"], planner_cfg,
+        )
+        if verbose:
+            print(f"{len(self.plans)} clusters of image sizes found.")
+
+    # ------------------------------------------------------------------
+    def _model_for_block(self, block: int):
+        if block not in self._param_cache:
+            features = self.spec.build().truncate(block)
+            params = load_or_init_params(features, self.config["model"]["type"], self.weights_dir)
+            mcfg = self.config["model"]
+
+            @jax.jit
+            def step(p, u8, v):
+                eq = clahe_batched_dynamic(
+                    u8, v, mcfg["clahe_clip_limit"], tuple(mcfg["clahe_tile_grid_size"])
+                )
+                x = normalize_batch(eq, v, self.spec.mean, self.spec.std)
+                return features.apply(p, x, v)
+
+            self._param_cache[block] = (features, params, step)
+        return self._param_cache[block]
+
+    def _extract(self, step, params, images: Sequence[np.ndarray]):
+        """Batched masked extraction -> (maps (B,C,Hf,Wf), valid (B,2)) numpy."""
+        batch_u8, valid = pack_canvas(images)
+        bs = max(1, self.config["tpu"]["extraction_batch"])
+        outs, vouts = [], []
+        for i in range(0, len(images), bs):
+            chunk = batch_u8[i : i + bs]
+            vchunk = valid[i : i + bs]
+            pad = bs - len(chunk)  # pad final chunk to keep one compiled shape
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+                vchunk = np.concatenate([vchunk, np.ones((pad, 2), vchunk.dtype)])
+            y, vy = step(params, jnp.asarray(chunk), jnp.asarray(vchunk))
+            outs.append(np.asarray(y)[: len(images) - i if pad else bs])
+            vouts.append(np.asarray(vy)[: len(images) - i if pad else bs])
+        return np.concatenate(outs), np.concatenate(vouts)
+
+    # ------------------------------------------------------------------
+    def _variant_plan(self, q_valid: np.ndarray, feat_canvas: tuple[int, int]):
+        """Host-side PIL-exact transform plans for every query's variants."""
+        comp = self.config["comparison"]
+        rotations = comp["rotations"]
+        scales = comp["scales"]
+        mode = self.config["tpu"]["variant_mode"]
+        hc, wc = feat_canvas
+
+        rots = list(rotations) if rotations else []
+        scls = list(scales) if scales else []
+        # template canvas must hold the largest scaled variant
+        smax = max([1.0] + scls)
+        tc = (max(hc, int(hc * smax)), max(wc, int(wc * smax)))
+
+        n_q = len(q_valid)
+        rot_idx = np.zeros((n_q, 1 + len(rots), hc * wc), np.int32)
+        rot_ok = np.zeros((n_q, 1 + len(rots), hc, wc), bool)
+        wv = np.zeros((n_q, max(1, len(scls)), tc[0], hc), np.float32)
+        wh = np.zeros((n_q, max(1, len(scls)), tc[1], wc), np.float32)
+        scale_hw = np.zeros((n_q, max(1, len(scls)), 2), np.int32)
+
+        for qi, (h, w) in enumerate(np.asarray(q_valid)):
+            h, w = int(h), int(w)
+            for ri, deg in enumerate([0.0] + rots):
+                idx, ok = rotate_index_map((h, w), deg, canvas_hw=(hc, wc))
+                rot_idx[qi, ri] = idx.reshape(-1)
+                rot_ok[qi, ri] = ok
+            for si, s in enumerate(scls):
+                oh, ow = pil_resize_size((h, w), s)
+                wv[qi, si] = resample_weights(h, oh, "bicubic", canvas_in=hc, canvas_out=tc[0])
+                wh[qi, si] = resample_weights(w, ow, "bicubic", canvas_in=wc, canvas_out=tc[1])
+                scale_hw[qi, si] = (oh, ow)
+        return rot_idx, rot_ok, wv, wh, scale_hw, tc, mode, len(rots), len(scls)
+
+    # ------------------------------------------------------------------
+    def _score_cluster(
+        self,
+        q_maps: np.ndarray,
+        q_valid: np.ndarray,
+        g_maps: np.ndarray,
+        g_valid: np.ndarray,
+    ) -> np.ndarray:
+        """(Q, G) max-over-variant score matrix for one cluster."""
+        channel_block = 16
+        true_c = q_maps.shape[1]
+        hc, wc = q_maps.shape[2], q_maps.shape[3]
+        rot_idx, rot_ok, wv, wh, scale_hw, tc, mode, n_rot, n_scl = self._variant_plan(
+            q_valid, (hc, wc)
+        )
+
+        cache, _ = build_gallery_cache(
+            jnp.asarray(g_maps), jnp.asarray(g_valid),
+            (tc[0] - 4, tc[1] - 4), channel_block,
+        )
+        c_pad = cache.phat.shape[0]
+
+        @jax.jit
+        def score_query(maps, valid, ridx, rok, wvq, whq, shw):
+            # rotated stack (R+1, C, hc, wc): gather + mask
+            flat = maps.reshape(maps.shape[0], hc * wc)
+            rot = jnp.take(flat, ridx, axis=1)  # (C, R+1, hc*wc)
+            rot = jnp.moveaxis(rot, 0, 1).reshape(-1, maps.shape[0], hc, wc)
+            rot = jnp.where(rok[:, None], rot, 0.0)
+
+            # pad rotated stack onto the template canvas
+            rot_t = jnp.zeros((rot.shape[0], c_pad, tc[0], tc[1]), jnp.float32)
+            rot_t = rot_t.at[:, :true_c, :hc, :wc].set(rot)
+            rot_valid = jnp.broadcast_to(valid, (rot.shape[0], 2))
+
+            templates = [rot_t[:1]]  # the original, always scored first
+            tvalids = [rot_valid[:1]]
+            if mode == "full":
+                templates.append(rot_t[1:])
+                tvalids.append(rot_valid[1:])
+            elif n_rot and not n_scl:
+                templates.append(rot_t[1:])
+                tvalids.append(rot_valid[1:])
+
+            if n_scl:
+                # scaled variants of each rotated map: two batched matmuls
+                scaled = jnp.einsum(
+                    "soh,rchw,spw->rscop", wvq, rot, whq, precision="highest"
+                )
+                scaled = scaled.reshape(-1, true_c, tc[0], tc[1])
+                sc_t = jnp.zeros((scaled.shape[0], c_pad, tc[0], tc[1]), jnp.float32)
+                sc_t = sc_t.at[:, :true_c].set(scaled)
+                sc_valid = jnp.broadcast_to(
+                    shw[None], (rot.shape[0], shw.shape[0], 2)
+                ).reshape(-1, 2)
+                templates.append(sc_t)
+                tvalids.append(sc_valid)
+
+            tmpl = jnp.concatenate(templates)
+            tval = jnp.concatenate(tvalids)
+            scores = score_templates(
+                cache, tmpl, tval, true_channels=true_c, channel_block=channel_block
+            )
+            return jnp.max(scores, axis=0)
+
+        rows = []
+        for qi in range(len(q_maps)):
+            rows.append(
+                np.asarray(
+                    score_query(
+                        jnp.asarray(q_maps[qi]), jnp.asarray(q_valid[qi]),
+                        jnp.asarray(rot_idx[qi]), jnp.asarray(rot_ok[qi]),
+                        jnp.asarray(wv[qi]), jnp.asarray(wh[qi]),
+                        jnp.asarray(scale_hw[qi]),
+                    )
+                )
+            )
+            if self.verbose and (qi + 1) % 10 == 0:
+                print(f"  scored {qi + 1}/{len(q_maps)} queries")
+        return np.stack(rows)
+
+    # ------------------------------------------------------------------
+    def run_cluster(self, plan) -> ClusterOutput:
+        crop = self.config["dataset"]["crop"]
+        n_threads = self.config["dataset"]["n_processes"]
+        with stage_timer("ingest", self.verbose):
+            q_files = sorted(plan.files)
+            q_imgs = load_images(self.dataset.query_dir, q_files, plan.scale, crop, n_threads)
+            g_imgs = load_images(
+                self.dataset.gallery_dir, self.dataset.gallery_files, plan.scale, crop, n_threads
+            )
+        _, params, step = self._model_for_block(plan.block)
+        with stage_timer("extract-query", self.verbose):
+            q_maps, q_valid = self._extract(step, params, q_imgs)
+        with stage_timer("extract-gallery", self.verbose):
+            g_maps, g_valid = self._extract(step, params, g_imgs)
+        with stage_timer("score", self.verbose):
+            scores = self._score_cluster(q_maps, q_valid, g_maps, g_valid)
+        pairs = self.dataset.matching_pairs(q_files)
+        ranks = ranks_from_scores(scores, pairs)
+        if self.verbose:
+            for qi, rank in enumerate(ranks):
+                print(f"Print {qi} true match ranked {rank}")
+        return ClusterOutput(ranks, pairs, len(q_files), plan.block, plan.scale)
+
+    def run(self):
+        for plan in self.plans:
+            if self.verbose:
+                print(f"Cluster has {len(plan.files)} items.")
+            yield self.run_cluster(plan)

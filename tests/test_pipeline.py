@@ -1,0 +1,143 @@
+"""End-to-end pipeline test on a synthetic on-disk dataset.
+
+Builds a miniature Impress-style dataset (gallery prints + queries that are
+noisy crops of their true match), runs the full TPU pipeline through the
+public ``Pipeline`` API, and checks its rankings against an independent
+per-image oracle path: cv2 CLAHE on host + native-shape extraction +
+reference-semantics NCC scoring (SURVEY.md section 4: golden end-to-end
+fixture).
+"""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from shoeprint_image_retrieval_tpu.config import load_config
+from shoeprint_image_retrieval_tpu.metrics import ranks_from_scores
+from shoeprint_image_retrieval_tpu.retrieval import oracle
+from shoeprint_image_retrieval_tpu.retrieval.engine import Pipeline
+
+RUN_TOML = """
+[dataset]
+dir = "{dir}"
+type = "Impress"
+crop = [0.05, 0.05]
+n_processes = 2
+n_clusters = 2
+cluster_minimise_tolerance = 0.05
+
+[model]
+type = "VGG16"
+clahe_clip_limit = 2.0
+clahe_tile_grid_size = [8, 8]
+start_block = 5
+end_block = 3
+skip_blocks = []
+minimum_dim = 8
+maximum_dim = 200
+
+[comparison]
+n_processes = 2
+rotations = [9, 180]
+scales = [1.04]
+
+[tpu]
+extraction_batch = 4
+"""
+
+
+def _make_dataset(root, rng, n_gallery=8, n_query=4):
+    (root / "Gallery").mkdir(parents=True)
+    (root / "Query").mkdir()
+    pairs = {}
+    texture = lambda h, w: rng.integers(30, 220, size=(h, w), dtype=np.uint8)
+    for gi in range(n_gallery):
+        h, w = int(rng.integers(70, 90)), int(rng.integers(60, 80))
+        img = texture(h, w)
+        Image.fromarray(img).save(root / "Gallery" / f"{gi + 1}_1.png")
+        pairs[gi + 1] = img
+    q_files = []
+    for qi in range(n_query):
+        gid = int(rng.integers(1, n_gallery + 1))
+        src = pairs[gid]
+        crop = src[5:55, 5:50].copy()
+        noise = rng.integers(-15, 16, size=crop.shape)
+        crop = np.clip(crop.astype(int) + noise, 0, 255).astype(np.uint8)
+        # unique query filename parses to the gallery id (Impress rule:
+        # int(f.split("_")[0].split(".")[0]))
+        name = f"{gid}_q{qi}.png"
+        Image.fromarray(crop).save(root / "Query" / name)
+        q_files.append(name)
+    return q_files
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini_impress")
+    rng = np.random.default_rng(11)
+    _make_dataset(root, rng)
+    return root
+
+
+def test_pipeline_end_to_end_matches_oracle(dataset, tmp_path):
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(RUN_TOML.format(dir=str(dataset)))
+    config = load_config(cfg_path)
+
+    pipe = Pipeline(config, weights_dir=None, verbose=False)
+    outputs = list(pipe.run())
+    assert sum(o.n_queries for o in outputs) == 4
+
+    # oracle path: host cv2 CLAHE + native-shape extraction + reference NCC
+    from shoeprint_image_retrieval_tpu.data.loader import load_images
+    from shoeprint_image_retrieval_tpu.ops.preprocess import normalize_batch
+
+    crop = config["dataset"]["crop"]
+    for out, plan in zip(outputs, pipe.plans):
+        q_files = sorted(plan.files)
+        q_imgs = load_images(dataset / "Query", q_files, plan.scale, crop, 2)
+        g_imgs = load_images(dataset / "Gallery", pipe.dataset.gallery_files, plan.scale, crop, 2)
+        features, params, _ = pipe._model_for_block(plan.block)
+
+        def native_maps(img):
+            eq = cv2.createCLAHE(
+                clipLimit=config["model"]["clahe_clip_limit"],
+                tileGridSize=tuple(config["model"]["clahe_tile_grid_size"]),
+            ).apply(img)
+            x = normalize_batch(
+                jnp.asarray(eq)[None],
+                jnp.asarray([[eq.shape[0], eq.shape[1]]], jnp.int32),
+                pipe.spec.mean, pipe.spec.std,
+            )
+            y, v = features.apply(
+                params, x, jnp.asarray([[eq.shape[0], eq.shape[1]]], jnp.int32)
+            )
+            y = np.asarray(y)[0]
+            hv, wv = int(v[0, 0]), int(v[0, 1])
+            return y[:, :hv, :wv]
+
+        marks = [native_maps(im) for im in q_imgs]
+        prints = [native_maps(im) for im in g_imgs]
+        scores = oracle.score_matrix(
+            marks, prints,
+            config["comparison"]["rotations"], config["comparison"]["scales"],
+            "reference",
+        )
+        want = oracle.rank_queries(scores, out.matching_pairs)
+        assert out.ranks.tolist() == want.tolist()
+
+
+def test_pipeline_deterministic(dataset, tmp_path):
+    """Same input -> same ranks, twice (SURVEY.md section 5: the reference's
+    multiprocessing races cannot occur in a single-process jitted pipeline)."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        RUN_TOML.format(dir=str(dataset)).replace("[9, 180]", '""').replace("[1.04]", '""')
+    )
+    config = load_config(cfg_path)
+    r1 = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
+    r2 = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
+    assert r1 == r2
