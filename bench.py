@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Headline benchmark: probes/sec ranked against a full gallery on TPU.
+
+BASELINE.json north star: rank probes against the full WVU2019-scale gallery
+with a precomputed HBM gallery feature cache at >= 100 probes/sec (v5e-8);
+this machine exposes ONE v5e chip, so the printed number is single-chip
+(gallery sharding scales it across a real mesh — tests/test_sharded.py).
+
+Workload (reference-shaped, synthetic): G gallery prints with
+EfficientNetV2_M-block-6-like feature maps (176 channels, stride-16 sizes
+from ~700px scans), Q probes, and the reference's shipped transform sweep —
+rotations [-15,-9,-3,3,9,15,180] x scales [1.02,1.04,1.08] in the
+reference's variant composition, 25 variants/probe (run.toml:24-25,
+similarity.py:321-353). Per probe: device-built variant stack (PIL-exact
+rotation gathers + bicubic resize matmuls) -> direct MXU-conv NCC against
+every print (ops/ncc_direct.py) -> max over shifts/variants.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+QUICK = "--quick" in sys.argv or os.environ.get("BENCH_QUICK") == "1"
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+        VariantGroup,
+        build_direct_cache,
+        fold_template,
+        score_direct,
+    )
+    from shoeprint_image_retrieval_tpu.ops.warp import (
+        pil_resize_size,
+        resample_weights,
+        rotate_index_map,
+    )
+
+    if QUICK:
+        G, C, Q = 24, 16, 2
+        g_lo, g_hi, q_lo, q_hi = 18, 24, 14, 18
+    else:
+        G, C, Q = 300, 176, 10
+        g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
+    rotations = [-15, -9, -3, 3, 9, 15, 180]
+    scales = [1.02, 1.04, 1.08]
+    channel_block = 16
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+
+    # --- gallery feature cache (the HBM-resident precompute) -------------
+    g_sizes = np.stack(
+        [rng.integers(g_lo, g_hi + 1, G), rng.integers(g_lo, g_hi + 1, G)], 1
+    ).astype(np.int32)
+    gal = np.zeros((G, C, g_hi, g_hi), np.float32)
+    for i, (h, w) in enumerate(g_sizes):
+        gal[i, :, :h, :w] = rng.normal(size=(C, h, w)).astype(np.float32)
+
+    q_sizes = np.stack(
+        [rng.integers(q_lo, q_hi + 1, Q), rng.integers(q_lo, q_hi + 1, Q)], 1
+    ).astype(np.int32)
+    smax = max(scales)
+    hc = wc = q_hi
+    tc = (max(hc, int(hc * smax)), max(wc, int(wc * smax)))
+
+    kernel_hw = (tc[0] - 4, tc[1] - 4)
+    t0 = time.perf_counter()
+    cache = jax.jit(build_direct_cache)(jnp.asarray(gal), jnp.asarray(g_sizes))
+    jax.block_until_ready(cache.p0)
+    log(f"gallery cache: G={G} C={C} kernel={kernel_hw} built in "
+        f"{time.perf_counter() - t0:.2f}s "
+        f"({sum(a.nbytes for a in cache) / 1e9:.2f} GB HBM)")
+    c_pad = cache.p0.shape[0]
+
+    # --- per-probe variant plans (host, PIL-exact) -----------------------
+    n_rot = len(rotations)
+    n_scl = len(scales)
+    probes = []
+    for qi in range(Q):
+        h, w = int(q_sizes[qi, 0]), int(q_sizes[qi, 1])
+        maps = np.zeros((C, hc, wc), np.float32)
+        maps[:, :h, :w] = rng.normal(size=(C, h, w)).astype(np.float32)
+        ridx = np.zeros((1 + n_rot, hc * wc), np.int32)
+        rok = np.zeros((1 + n_rot, hc, wc), bool)
+        for ri, deg in enumerate([0.0] + rotations):
+            idx, ok = rotate_index_map((h, w), deg, canvas_hw=(hc, wc))
+            ridx[ri] = idx.reshape(-1)
+            rok[ri] = ok
+        wv = np.zeros((n_scl, tc[0], hc), np.float32)
+        wh = np.zeros((n_scl, tc[1], wc), np.float32)
+        shw = np.zeros((n_scl, 2), np.int32)
+        for si, s in enumerate(scales):
+            oh, ow = pil_resize_size((h, w), s)
+            wv[si] = resample_weights(h, oh, "bicubic", canvas_in=hc, canvas_out=tc[0])
+            wh[si] = resample_weights(w, ow, "bicubic", canvas_in=wc, canvas_out=tc[1])
+            shw[si] = (oh, ow)
+        probes.append((maps, np.asarray([h, w], np.int32), ridx, rok, wv, wh, shw))
+
+    # --- jitted probe-batch step: variants + direct-conv NCC + max -------
+    # Probes are scored PB at a time so the conv's output-channel axis holds
+    # PB x 25 = ~125 variants — filling the MXU's 128 output lanes.
+    # NOTE: the cache must be a jit *argument*, not a closure capture — jit
+    # constant-folds closures by pulling them to host, and large device->host
+    # transfers hang over the axon tunnel.
+    PB = min(5, Q)
+    n_var = 1 + (1 + n_rot) * n_scl
+    fold = jax.vmap(fold_template, in_axes=(0, None, None))
+
+    @jax.jit
+    def score_batch_jit(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
+        groups = []
+        for p in range(PB):
+            flat = maps[p].reshape(C, hc * wc)
+            rot = jnp.take(flat, ridx[p], axis=1)
+            rot = jnp.moveaxis(rot, 0, 1).reshape(-1, C, hc, wc)
+            rot = jnp.where(rok[p][:, None], rot, 0.0)
+            groups.append(VariantGroup(fold(rot[:1], valid[p], kernel_hw), valid[p] - 4))
+            scaled = jnp.einsum(
+                "soh,rchw,spw->rscop", wvq[p], rot, whq[p], precision="highest"
+            )
+            for si in range(n_scl):
+                groups.append(
+                    VariantGroup(fold(scaled[:, si], shw[p, si], kernel_hw), shw[p, si] - 4)
+                )
+        scores = score_direct(cache_arg, groups, true_channels=C)
+        return jnp.max(scores.reshape(PB, n_var, G), axis=1)  # (PB, G)
+
+    def stack_args(batch):
+        return tuple(jnp.asarray(np.stack(col)) for col in zip(*batch))
+
+    batches = [stack_args(probes[i : i + PB]) for i in range(0, Q, PB)]
+    t0 = time.perf_counter()
+    np.asarray(score_batch_jit(cache, *batches[0]))  # host pull: block_until_
+    log(f"compile+warmup: {time.perf_counter() - t0:.2f}s")  # ready can return
+    # at enqueue over the axon tunnel, so timing must round-trip real bytes.
+
+    t0 = time.perf_counter()
+    rows = [score_batch_jit(cache, *b) for b in batches]
+    rows = [np.asarray(r) for r in rows]  # (PB, G) f32 pulls
+    dt = time.perf_counter() - t0
+    pps = (len(batches) * PB) / dt
+    log(f"{len(batches) * PB} probes x {n_var} variants x {G} prints in "
+        f"{dt:.3f}s -> {pps:.2f} probes/s")
+
+    print(json.dumps({
+        "metric": "probes_per_sec_full_gallery_ncc",
+        "value": round(pps, 3),
+        "unit": "probes/s",
+        "vs_baseline": round(pps / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -211,7 +211,11 @@ def score_one_template(
         r = jnp.where(jnp.isfinite(r), r, 0.0)
         return acc + jnp.sum(r, axis=0), None
 
-    acc0 = jnp.zeros((g, hcg, wcg), jnp.float32)
+    # Derive the zero init from cache data so its varying-manual-axes type
+    # matches the scan carry under shard_map (gallery-sharded scoring).
+    acc0 = jnp.zeros((g, hcg, wcg), jnp.float32) + (
+        jnp.sum(cache.valid_hw) * 0
+    ).astype(jnp.float32)
     summed, _ = jax.lax.scan(block, acc0, (phat_b, int1_b, int2_b, that_b, tsq_b))
 
     # Max over each print's valid "same" window only (positions past the
@@ -231,7 +235,13 @@ def score_templates(
     true_channels: int,
     channel_block: int = 16,
 ) -> jnp.ndarray:
-    """Vectorized :func:`score_one_template` over a stack of variants.
+    """:func:`score_one_template` over a stack of variants via ``lax.map``.
+
+    ``lax.map`` (not ``vmap``): each variant is already a large batched FFT
+    workload over (channels x gallery), so vectorizing the variant axis adds
+    no parallelism worth having — but it multiplies the scan+FFT graph and
+    sends TPU compile time from ~2s to minutes. Sequential mapping compiles
+    the body once and keeps peak memory at one variant's working set.
 
     Args:
         templates: ``(V, C, hraw, wraw)``; template_valid_hw: ``(V, 2)``.
@@ -245,7 +255,7 @@ def score_templates(
         true_channels=true_channels,
         channel_block=channel_block,
     )
-    return jax.vmap(fn)(templates, template_valid_hw)
+    return jax.lax.map(lambda args: fn(*args), (templates, template_valid_hw))
 
 
 def normxcorr_same(template: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,114 @@
+"""Gallery-sharded NCC scoring: shard_map + ICI all-gather.
+
+Replaces the reference's scheme — gallery feature maps copied into POSIX
+shared memory and fully replicated into every worker process (reference
+similarity.py:164-176, 309-317) — with an HBM-resident gallery cache sharded
+across the mesh's ``gallery`` axis. Each device scores all query variants
+against its shard (reusing the exact single-device kernel, ops/ncc.py) and
+the per-shard score rows ride ICI through one tiled ``all_gather``.
+
+Each (variant, print) score is computed entirely on one device by the same
+kernel; sharded == unsharded up to XLA's per-shape scheduling (<= 1 ULP),
+with rankings identical (tested in tests/test_sharded.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.ncc import GalleryCache, score_templates
+from ..ops.ncc_direct import score_direct
+from .mesh import GALLERY_AXIS, pad_gallery_cache
+
+
+def shard_cache(cache, mesh):
+    """Pad + place a gallery cache sharded over the mesh (channel-major
+    arrays shard on axis 1; valid sizes on axis 0). Accepts both the FFT
+    (:class:`GalleryCache`) and direct cache layouts."""
+    n = mesh.shape[GALLERY_AXIS]
+    padded, g_true = pad_gallery_cache(cache, n)
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    fields = {
+        k: put(v, P(GALLERY_AXIS) if k == "valid_hw" else P(None, GALLERY_AXIS))
+        for k, v in padded._asdict().items()
+    }
+    return type(cache)(**fields), g_true
+
+
+def make_sharded_scorer(mesh, sharded_cache: GalleryCache, *, true_channels: int,
+                        channel_block: int = 16, g_true: int | None = None):
+    """Jitted (templates, tvalid) -> (V, G) scorer over the mesh."""
+
+    def local(phat, int1, int2, gvalid, templates, tvalid):
+        local_cache = GalleryCache(phat, int1, int2, gvalid)
+        s = score_templates(
+            local_cache, templates, tvalid,
+            true_channels=true_channels, channel_block=channel_block,
+        )
+        return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
+            P(GALLERY_AXIS), P(), P(),
+        ),
+        out_specs=P(),
+        # after the tiled all_gather every device holds identical full rows;
+        # the static vma checker cannot infer that, so it is disabled here
+        check_vma=False,
+    )
+
+    @jax.jit
+    def score(templates, tvalid):
+        s = mapped(
+            sharded_cache.phat, sharded_cache.int1, sharded_cache.int2,
+            sharded_cache.valid_hw, templates, tvalid,
+        )
+        return s[:, :g_true] if g_true is not None else s
+
+    return score
+
+
+def make_sharded_direct_scorer(mesh, sharded_cache, *, true_channels: int,
+                               g_true: int | None = None):
+    """Jitted (groups) -> (N, G) scorer over the mesh, direct-conv path.
+
+    ``groups`` is the same static-length list of
+    :class:`~..ops.ncc_direct.VariantGroup` the single-device
+    :func:`~..ops.ncc_direct.score_direct` takes; kernels/window sizes are
+    replicated to every device, each device scores its gallery shard, rows
+    ride ICI through one tiled all_gather.
+    """
+    from ..ops.ncc_direct import DirectGalleryCache
+
+    def local(p0, int1, int2, gvalid, groups):
+        local_cache = DirectGalleryCache(p0, int1, int2, gvalid)
+        s = score_direct(local_cache, groups, true_channels=true_channels)
+        return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
+            P(GALLERY_AXIS), P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def score(groups):
+        s = mapped(
+            sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
+            sharded_cache.valid_hw, groups,
+        )
+        return s[:, :g_true] if g_true is not None else s
+
+    return score

@@ -38,7 +38,13 @@ from ..metrics import ranks_from_scores
 from ..models.registry import get_backbone
 from ..models.weights import load_or_init_params
 from ..ops.clahe import clahe_batched_dynamic
-from ..ops.ncc import GalleryCache, build_gallery_cache, score_templates
+from ..ops.ncc import EDGE_CROP
+from ..ops.ncc_direct import (
+    VariantGroup,
+    build_direct_cache,
+    fold_template,
+    score_direct,
+)
 from ..ops.preprocess import normalize_batch
 from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
 from ..utils.tracing import stage_timer
@@ -164,61 +170,54 @@ class Pipeline:
         g_maps: np.ndarray,
         g_valid: np.ndarray,
     ) -> np.ndarray:
-        """(Q, G) max-over-variant score matrix for one cluster."""
-        channel_block = 16
+        """(Q, G) max-over-variant score matrix for one cluster.
+
+        Uses the direct MXU-conv NCC path (ops/ncc_direct.py): per query, a
+        device-built variant stack grouped by window size — the original
+        [+ unscaled rotations in "full" mode] as one group and each scale as
+        another — scored by one channel-scanned conv GEMM; max over variants.
+        """
         true_c = q_maps.shape[1]
         hc, wc = q_maps.shape[2], q_maps.shape[3]
         rot_idx, rot_ok, wv, wh, scale_hw, tc, mode, n_rot, n_scl = self._variant_plan(
             q_valid, (hc, wc)
         )
+        kernel_hw = (tc[0] - 2 * EDGE_CROP, tc[1] - 2 * EDGE_CROP)
 
-        cache, _ = build_gallery_cache(
-            jnp.asarray(g_maps), jnp.asarray(g_valid),
-            (tc[0] - 4, tc[1] - 4), channel_block,
-        )
-        c_pad = cache.phat.shape[0]
+        cache = build_direct_cache(jnp.asarray(g_maps), jnp.asarray(g_valid))
 
+        fold = jax.vmap(fold_template, in_axes=(0, None, None))
+
+        # cache is a jit *argument* (not a closure capture): jit would
+        # constant-fold captured arrays via a device->host pull, and large
+        # transfers hang over the axon TPU tunnel.
         @jax.jit
-        def score_query(maps, valid, ridx, rok, wvq, whq, shw):
+        def score_query(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
             # rotated stack (R+1, C, hc, wc): gather + mask
             flat = maps.reshape(maps.shape[0], hc * wc)
             rot = jnp.take(flat, ridx, axis=1)  # (C, R+1, hc*wc)
             rot = jnp.moveaxis(rot, 0, 1).reshape(-1, maps.shape[0], hc, wc)
             rot = jnp.where(rok[:, None], rot, 0.0)
 
-            # pad rotated stack onto the template canvas
-            rot_t = jnp.zeros((rot.shape[0], c_pad, tc[0], tc[1]), jnp.float32)
-            rot_t = rot_t.at[:, :true_c, :hc, :wc].set(rot)
-            rot_valid = jnp.broadcast_to(valid, (rot.shape[0], 2))
-
-            templates = [rot_t[:1]]  # the original, always scored first
-            tvalids = [rot_valid[:1]]
-            if mode == "full":
-                templates.append(rot_t[1:])
-                tvalids.append(rot_valid[1:])
-            elif n_rot and not n_scl:
-                templates.append(rot_t[1:])
-                tvalids.append(rot_valid[1:])
-
+            groups = []
+            include_rots_unscaled = mode == "full" or (n_rot and not n_scl)
+            base = rot if include_rots_unscaled else rot[:1]
+            groups.append(
+                VariantGroup(fold(base, valid, kernel_hw), valid - 2 * EDGE_CROP)
+            )
             if n_scl:
                 # scaled variants of each rotated map: two batched matmuls
                 scaled = jnp.einsum(
                     "soh,rchw,spw->rscop", wvq, rot, whq, precision="highest"
-                )
-                scaled = scaled.reshape(-1, true_c, tc[0], tc[1])
-                sc_t = jnp.zeros((scaled.shape[0], c_pad, tc[0], tc[1]), jnp.float32)
-                sc_t = sc_t.at[:, :true_c].set(scaled)
-                sc_valid = jnp.broadcast_to(
-                    shw[None], (rot.shape[0], shw.shape[0], 2)
-                ).reshape(-1, 2)
-                templates.append(sc_t)
-                tvalids.append(sc_valid)
-
-            tmpl = jnp.concatenate(templates)
-            tval = jnp.concatenate(tvalids)
-            scores = score_templates(
-                cache, tmpl, tval, true_channels=true_c, channel_block=channel_block
-            )
+                )  # (R+1, S, C, tc0, tc1)
+                for si in range(n_scl):
+                    groups.append(
+                        VariantGroup(
+                            fold(scaled[:, si], shw[si], kernel_hw),
+                            shw[si] - 2 * EDGE_CROP,
+                        )
+                    )
+            scores = score_direct(cache_arg, groups, true_channels=true_c)
             return jnp.max(scores, axis=0)
 
         rows = []
@@ -226,6 +225,7 @@ class Pipeline:
             rows.append(
                 np.asarray(
                     score_query(
+                        cache,
                         jnp.asarray(q_maps[qi]), jnp.asarray(q_valid[qi]),
                         jnp.asarray(rot_idx[qi]), jnp.asarray(rot_ok[qi]),
                         jnp.asarray(wv[qi]), jnp.asarray(wh[qi]),
