@@ -42,7 +42,9 @@ def main() -> None:
         VariantGroup,
         build_direct_cache,
         fold_template,
-        score_direct,
+    )
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        score_direct_pallas,
     )
     from shoeprint_image_retrieval_tpu.ops.warp import (
         pil_resize_size,
@@ -137,7 +139,7 @@ def main() -> None:
                 groups.append(
                     VariantGroup(fold(scaled[:, si], shw[p, si], kernel_hw), shw[p, si] - 4)
                 )
-        scores = score_direct(cache_arg, groups, true_channels=C)
+        scores = score_direct_pallas(cache_arg, groups, true_channels=C)
         return jnp.max(scores.reshape(PB, n_var, G), axis=1)  # (PB, G)
 
     def stack_args(batch):

@@ -67,7 +67,9 @@ class TpuConfig(TypedDict, total=True):
             similarity.py:321-353 composition quirk); ``"full"`` scores the
             corrected full cross product {originals ∪ rotations} × ({1} ∪ scales).
         extraction_batch: max images per batched feature-extraction step.
-        fft_backend: ``"xla"`` (jnp.fft) today; reserved for a Pallas FFT.
+        ncc_backend: ``"auto"`` (fused Pallas kernel on TPU, XLA direct conv
+            path on CPU), ``"pallas"``, ``"direct"``, or ``"fft"`` (the
+            batched-FFT path, ops/ncc.py — useful on CPU-class hosts).
     """
 
     mesh_shape: int
@@ -75,7 +77,7 @@ class TpuConfig(TypedDict, total=True):
     cache_dir: str
     variant_mode: str
     extraction_batch: int
-    fft_backend: str
+    ncc_backend: str
 
 
 class Config(TypedDict, total=True):
@@ -93,7 +95,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "cache_dir": "",
     "variant_mode": "reference",
     "extraction_batch": 8,
-    "fft_backend": "xla",
+    "ncc_backend": "auto",
 }
 
 

@@ -1,0 +1,237 @@
+"""Fused Pallas NCC scoring kernel — the framework's hot-path kernel.
+
+Computes the same quantity as :func:`..ncc_direct.score_direct` (the
+reference's per-pair normalized cross-correlation, summed over channels,
+maxed over shifts — reference similarity.py:26-108) in ONE kernel per
+(print, channel) grid step, with every per-channel intermediate living in
+VMEM:
+
+grid = (G, C), sequential. Per step:
+
+1. **Patch build** (VMEM only): the zero-padded print channel is lane-rolled
+   ``wk`` times (one (Hp, Wp) roll per tap column), then ``hk`` block copies
+   assemble the full im2col patch matrix ``Pt (hk*wk, Hb*Wb)`` — ~9 MB of
+   VMEM traffic instead of the ~1 GB/channel the XLA conv paths spill to HBM.
+2. **One MXU dot**: ``kernels (N, hk*wk) @ Pt`` — a 1156-deep contraction
+   with every variant of every probe in the batch on the output axis.
+3. **Energy epilogue**: per window-size group, local window energies come
+   from 4 dynamic slices of edge-extended integral images (the clip
+   semantics of box sums are baked into the extension), giving
+   ``inv_e = 1/sqrt(energy)``; the group's correlation rows are scaled and
+   accumulated into a VMEM accumulator that persists across the C grid
+   steps.
+4. At the last channel step: masked max over the print's valid positions,
+   ``/ C`` (reference similarity.py:106-108), one (N,) row to HBM.
+
+HBM traffic per probe-batch is just the cache + kernel reads (~30 GB at
+WVU scale vs ~1 TB for the XLA formulations).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ncc_direct import DirectGalleryCache, VariantGroup
+
+
+def _extend_integral(integral: jnp.ndarray, top: int, bot: int) -> jnp.ndarray:
+    """Pad an integral image with zeros (top/left) and edge-replication
+    (bottom/right) so clipped box-sum indices become plain offsets.
+
+    The width is additionally padded to a multiple of 128: the kernel selects
+    box-sum columns with dynamic lane-rolls, which Mosaic only supports on
+    lane-aligned shapes (the extra columns are never read).
+    """
+    z = jnp.pad(integral, [(0, 0)] * (integral.ndim - 2) + [(top, 0), (top, 0)])
+    w = z.shape[-1] + bot
+    w_pad = -(-w // 128) * 128 - z.shape[-1]
+    return jnp.pad(
+        z, [(0, 0)] * (integral.ndim - 2) + [(0, bot), (0, w_pad)], mode="edge"
+    )
+
+
+def _kernel_body(
+    counts: tuple[int, ...],
+    hb: int,
+    wb: int,
+    hk: int,
+    wk: int,
+    top: int,
+    true_channels: int,
+    u_blk: int,
+    # refs
+    gw_ref,      # SMEM (n_groups, 2) int32 window sizes
+    gvalid_ref,  # SMEM (G, 2) int32 per-print valid sizes (full array)
+    p0_ref,      # VMEM (1, 1, hb, wb)
+    int1_ref,    # VMEM (1, 1, he, we) extended integral
+    int2_ref,    # VMEM (1, 1, he, we)
+    kern_ref,    # VMEM (1, n_pad, hk*wk)
+    out_ref,     # VMEM (G, n_pad) — full scores block, row gg written per print
+    acc_ref,     # scratch VMEM (n_pad, hb, wb)
+    rolls_ref,   # scratch VMEM (wk, hp, wp)
+    pt_ref,      # scratch VMEM (hk*wk, hb, wb)
+    corr_ref,    # scratch VMEM (n_pad, hb, wb)
+):
+    gg = pl.program_id(0)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # --- patch build (all VMEM; no lane-crossing reshapes) -----------------
+    padded = jnp.pad(
+        p0_ref[0, 0],
+        ((hk // 2, hk - 1 - hk // 2), (wk // 2, wk - 1 - wk // 2)),
+    )
+    wp = wb + wk - 1
+    for v in range(wk):
+        # rolls[v][., x] = padded[., x + v]  (jnp.roll by -v; pltpu.roll
+        # requires a non-negative shift, so roll by wp - v)
+        rolls_ref[v] = pltpu.roll(padded, wp - v, axis=1) if v else padded
+
+    # --- MXU dots, tap-row-blocked to fit the patch scratch in VMEM --------
+    # For each block of u_blk tap rows: assemble that slice of the im2col
+    # patch stack, then one (N, u_blk*wk) @ (u_blk*wk, wb) GEMM per output
+    # row, accumulated into corr.
+    kern = kern_ref[0]  # (n_pad, T)
+    n_blocks = -(-hk // u_blk)
+    for ub in range(n_blocks):
+        u0 = ub * u_blk
+        rows = min(u_blk, hk - u0)
+        for u in range(rows):
+            pt_ref[u * wk : (u + 1) * wk] = rolls_ref[:, u0 + u : u0 + u + hb, 0:wb]
+        kblk = kern[:, u0 * wk : (u0 + rows) * wk]
+        for y in range(hb):
+            partial = jnp.dot(
+                kblk, pt_ref[: rows * wk, y, :], preferred_element_type=jnp.float32
+            )
+            if ub == 0:
+                corr_ref[:, y, :] = partial
+            else:
+                corr_ref[:, y, :] += partial
+
+    # --- per-group energy epilogue -----------------------------------------
+    start = 0
+    for gi, cnt in enumerate(counts):
+        h = gw_ref[gi, 0]
+        w = gw_ref[gi, 1]
+        lo_h = top - h // 2
+        hi_h = top + (h - 1) // 2 + 1
+        lo_w = top - w // 2
+        hi_w = top + (w - 1) // 2 + 1
+
+        def box(i_ref):
+            # dynamic sublane starts are fine; dynamic LANE offsets are not —
+            # column selection happens via dynamic lane-rolls instead
+            we = i_ref.shape[-1]
+            rowdiff = (
+                i_ref[0, 0, pl.ds(hi_h, hb), :] - i_ref[0, 0, pl.ds(lo_h, hb), :]
+            )  # (hb, we)
+            hi = pltpu.roll(rowdiff, we - hi_w, axis=1)[:, :wb]
+            lo = pltpu.roll(rowdiff, we - lo_w, axis=1)[:, :wb]
+            return hi - lo
+
+        b1 = box(int1_ref)
+        b2 = box(int2_ref)
+        n_win = (h * w).astype(jnp.float32)
+        energy = jnp.maximum(b2 - b1 * b1 / n_win, 0.0)
+        inv_e = jnp.where(energy > 0, jax.lax.rsqrt(energy), 0.0)
+        acc_ref[start : start + cnt] += corr_ref[start : start + cnt] * inv_e[None]
+        start += cnt
+
+    # --- final masked max at the last channel -----------------------------
+    @pl.when(c == n_c - 1)
+    def _finish():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+        ok = (rows < gvalid_ref[gg, 0]) & (cols < gvalid_ref[gg, 1])
+        masked = jnp.where(ok[None], acc_ref[:], jnp.float32(-jnp.inf))
+        # two chained single-axis maxes: Mosaic miscompiles axis=(1, 2)
+        out_ref[gg, :] = jnp.max(jnp.max(masked, axis=2), axis=1) / true_channels
+
+
+def score_direct_pallas(
+    cache: DirectGalleryCache,
+    groups: Sequence[VariantGroup],
+    *,
+    true_channels: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in fused-kernel equivalent of :func:`..ncc_direct.score_direct`.
+
+    Returns (N_total, G) float32 scores.
+    """
+    c_pad, g, hb, wb = cache.p0.shape
+    hk, wk = groups[0].kernels.shape[-2:]
+    counts = tuple(int(grp.kernels.shape[0]) for grp in groups)
+    n_total = sum(counts)
+    n_pad = -(-n_total // 8) * 8
+
+    kernels = jnp.concatenate([grp.kernels for grp in groups])  # (N, C, hk, wk)
+    if kernels.shape[1] != c_pad:
+        kernels = jnp.pad(kernels, ((0, 0), (0, c_pad - kernels.shape[1]), (0, 0), (0, 0)))
+    if n_pad != n_total:
+        kernels = jnp.pad(kernels, ((0, n_pad - n_total), (0, 0), (0, 0), (0, 0)))
+    kern_flat = jnp.transpose(kernels, (1, 0, 2, 3)).reshape(c_pad, n_pad, hk * wk)
+
+    top = hk // 2 + 1  # zero/edge extension headroom for clipped box indices
+    int1e = _extend_integral(cache.int1, top, top + 1)
+    int2e = _extend_integral(cache.int2, top, top + 1)
+    he, we = int1e.shape[-2], int1e.shape[-1]
+
+    group_win = jnp.stack([jnp.asarray(grp.window_hw) for grp in groups]).astype(jnp.int32)
+
+    # tap-row block size: keep the patch scratch (whose (hb, wb) minor dims
+    # tile-pad to multiples of (8, 128)) within the VMEM budget
+    tile_bytes = (-(-hb // 8) * 8) * (-(-wb // 128) * 128) * 4
+    fixed = (2 * n_pad + wk + hk) * tile_bytes  # corr + acc + rolls-ish
+    budget = 13 * 1024 * 1024 - fixed
+    u_blk = max(1, min(hk, budget // max(1, wk * tile_bytes)))
+
+    body = functools.partial(
+        _kernel_body, counts, hb, wb, hk, wk, top, true_channels, u_blk
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(g, c_pad),
+        in_specs=[
+            pl.BlockSpec((len(groups), 2), lambda gg, cc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 2), lambda gg, cc: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, hb, wb), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, 1, he, we), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, 1, he, we), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, n_pad, hk * wk), lambda gg, cc: (cc, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, n_pad), lambda gg, cc: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, hb, wb), jnp.float32),
+            pltpu.VMEM((wk, hb + hk - 1, wb + wk - 1), jnp.float32),
+            pltpu.VMEM((min(u_blk, hk) * wk, hb, wb), jnp.float32),
+            pltpu.VMEM((n_pad, hb, wb), jnp.float32),
+        ],
+    )
+
+    scores = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, n_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        group_win,
+        cache.valid_hw.astype(jnp.int32),
+        cache.p0,
+        int1e,
+        int2e,
+        kern_flat,
+    )
+    return jnp.transpose(scores)[:n_total]

@@ -45,6 +45,7 @@ from ..ops.ncc_direct import (
     fold_template,
     score_direct,
 )
+from ..ops.pallas.ncc_kernel import score_direct_pallas
 from ..ops.preprocess import normalize_batch
 from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
 from ..utils.tracing import stage_timer
@@ -186,6 +187,15 @@ class Pipeline:
 
         cache = build_direct_cache(jnp.asarray(g_maps), jnp.asarray(g_valid))
 
+        # the fused Pallas kernel is the TPU fast path; the XLA direct path
+        # serves CPU (tests / oracle regeneration) where Mosaic interpret
+        # mode would be needlessly slow
+        backend = self.config["tpu"].get("ncc_backend", "auto")
+        use_pallas = backend == "pallas" or (
+            backend == "auto" and jax.default_backend() not in ("cpu",)
+        )
+        scorer = score_direct_pallas if use_pallas else score_direct
+
         fold = jax.vmap(fold_template, in_axes=(0, None, None))
 
         # cache is a jit *argument* (not a closure capture): jit would
@@ -217,7 +227,7 @@ class Pipeline:
                             shw[si] - 2 * EDGE_CROP,
                         )
                     )
-            scores = score_direct(cache_arg, groups, true_channels=true_c)
+            scores = scorer(cache_arg, groups, true_channels=true_c)
             return jnp.max(scores, axis=0)
 
         rows = []

@@ -1,0 +1,81 @@
+"""Fused Pallas NCC kernel vs the XLA direct path (interpret mode on CPU).
+
+The Pallas kernel must compute the identical quantity as
+ops/ncc_direct.score_direct — same groups, same masking, same zero-energy
+conventions — to f32 tolerance.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+    VariantGroup,
+    build_direct_cache,
+    fold_template,
+    score_direct,
+)
+from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import score_direct_pallas
+
+
+def _pad_stack(maps, canvas_hw):
+    c = maps[0].shape[0]
+    arr = np.zeros((len(maps), c, *canvas_hw), np.float32)
+    valid = np.zeros((len(maps), 2), np.int32)
+    for i, m in enumerate(maps):
+        arr[i, :, : m.shape[1], : m.shape[2]] = m
+        valid[i] = m.shape[1:]
+    return jnp.asarray(arr), jnp.asarray(valid)
+
+
+def test_pallas_matches_direct_multi_group():
+    rng = np.random.default_rng(0)
+    c = 6
+    prints = [
+        rng.normal(size=(c, int(rng.integers(14, 22)), int(rng.integers(14, 22)))).astype(np.float32)
+        for _ in range(5)
+    ]
+    gal, gv = _pad_stack(prints, (22, 22))
+    cache = build_direct_cache(gal, gv, channel_block=3)
+
+    # groups with different sizes and counts (orig + two "rotations" + scaled)
+    marks_a = [rng.normal(size=(c, 12, 14)).astype(np.float32) for _ in range(3)]
+    marks_b = [rng.normal(size=(c, 10, 11)).astype(np.float32) for _ in range(2)]
+    tm_a, tv_a = _pad_stack(marks_a, (14, 14))
+    tm_b, tv_b = _pad_stack(marks_b, (14, 14))
+    kernel_hw = (10, 10)
+    groups = [
+        VariantGroup(
+            jnp.stack([fold_template(tm_a[i], tv_a[i], kernel_hw) for i in range(3)]),
+            tv_a[0] - 4,
+        ),
+        VariantGroup(
+            jnp.stack([fold_template(tm_b[i], tv_b[i], kernel_hw) for i in range(2)]),
+            tv_b[0] - 4,
+        ),
+    ]
+
+    want = np.asarray(score_direct(cache, groups, true_channels=c))
+    got = np.asarray(
+        score_direct_pallas(cache, groups, true_channels=c, interpret=True)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_zero_template_and_flat_print():
+    rng = np.random.default_rng(1)
+    c = 2
+    prints = [
+        rng.normal(size=(c, 16, 16)).astype(np.float32),
+        np.zeros((c, 16, 16), np.float32),  # flat print: zero energy everywhere
+    ]
+    gal, gv = _pad_stack(prints, (16, 16))
+    cache = build_direct_cache(gal, gv, channel_block=2)
+    zero = jnp.zeros((c, 9, 9), jnp.float32)
+    k = fold_template(zero, jnp.asarray([9, 9], jnp.int32), (5, 5))
+    groups = [VariantGroup(k[None], jnp.asarray([5, 5], jnp.int32))]
+    got = np.asarray(
+        score_direct_pallas(cache, groups, true_channels=c, interpret=True)
+    )
+    assert np.isfinite(got).all()
+    assert (got == 0).all()
