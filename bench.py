@@ -28,6 +28,7 @@ import time
 import numpy as np
 
 QUICK = "--quick" in sys.argv or os.environ.get("BENCH_QUICK") == "1"
+BF16 = "--bf16" in sys.argv or os.environ.get("BENCH_BF16") == "1"
 
 
 def log(msg: str) -> None:
@@ -139,7 +140,10 @@ def main() -> None:
                 groups.append(
                     VariantGroup(fold(scaled[:, si], shw[p, si], kernel_hw), shw[p, si] - 4)
                 )
-        scores = score_direct_pallas(cache_arg, groups, true_channels=C)
+        scores = score_direct_pallas(
+            cache_arg, groups, true_channels=C,
+            compute_dtype=jnp.bfloat16 if BF16 else jnp.float32,
+        )
         return jnp.max(scores.reshape(PB, n_var, G), axis=1)  # (PB, G)
 
     def stack_args(batch):

@@ -50,9 +50,32 @@ def load_images(
     scale: float,
     crop: Sequence[float],
     n_threads: int = 8,
+    use_native: bool = True,
 ) -> list[np.ndarray]:
-    """Parallel ingest preserving ``files`` order."""
+    """Parallel ingest preserving ``files`` order.
+
+    When the native C++ ingest library is available (data/native_ingest.py)
+    and the images are grayscale uint8, decode happens on PIL threads but the
+    crop + Lanczos resize math runs as one native threaded batch call —
+    bit-exact vs PIL (tests/test_native.py).
+    """
     directory = Path(directory)
+    from . import native_ingest
+
+    if use_native and native_ingest.available():
+        with ThreadPoolExecutor(max_workers=max(1, n_threads)) as pool:
+            decoded = list(pool.map(lambda f: np.asarray(Image.open(directory / f)), files))
+        if all(d.dtype == np.uint8 and d.ndim == 2 for d in decoded):
+            crops, outs = [], []
+            for d in decoded:
+                ch = math.floor(d.shape[0] * crop[0])
+                cw = math.floor(d.shape[1] * crop[1])
+                crops.append((ch, cw))
+                outs.append(
+                    (int((d.shape[0] - 2 * ch) * scale), int((d.shape[1] - 2 * cw) * scale))
+                )
+            return native_ingest.crop_resize_batch(decoded, crops, outs, n_threads)
+
     with ThreadPoolExecutor(max_workers=max(1, n_threads)) as pool:
         return list(pool.map(lambda f: load_one(directory / f, scale, crop), files))
 

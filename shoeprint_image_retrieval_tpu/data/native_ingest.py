@@ -1,0 +1,92 @@
+"""ctypes bindings for the native (C++) host-ingest library.
+
+Builds ``native/ingest.cc`` on first use (g++, cached next to the source)
+and exposes :func:`crop_resize_batch` — the hot per-image ingest math
+(crop + PIL-exact two-pass Lanczos3 resize on uint8) as one native threaded
+batch call. Decode stays with PIL (format zoo); everything after the decode
+runs in C++. Falls back to PIL transparently when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "ingest.cc"
+_SO = _SRC.with_name("libingest.so")
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC),
+                     "-lpthread"],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(str(_SO))
+            lib.ingest_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            _lib = lib
+        except Exception:
+            _failed = True
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def crop_resize_batch(
+    images: Sequence[np.ndarray],
+    crops: Sequence[tuple[int, int]],
+    out_sizes: Sequence[tuple[int, int]],
+    n_threads: int = 8,
+) -> list[np.ndarray]:
+    """Crop + Lanczos3-resize a batch of uint8 grayscale images natively.
+
+    Args:
+        images: source (H, W) uint8 arrays (C-contiguous).
+        crops: per-image (crop_h, crop_w) pixel counts removed from EACH edge
+            (the caller applies the reference's floor(ratio * dim) rule,
+            reference dataloader.py:218-228).
+        out_sizes: per-image (out_h, out_w).
+
+    Returns:
+        list of (out_h, out_w) uint8 arrays, bit-exact vs PIL's
+        ``crop(...).resize(..., LANCZOS)``.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable (no g++?)")
+    n = len(images)
+    srcs = [np.ascontiguousarray(im) for im in images]
+    dsts = [np.empty(hw, np.uint8) for hw in out_sizes]
+
+    src_ptrs = (ctypes.c_void_p * n)(*[s.ctypes.data for s in srcs])
+    dst_ptrs = (ctypes.c_void_p * n)(*[d.ctypes.data for d in dsts])
+    src_hw = (ctypes.c_int * (2 * n))(*[v for s in srcs for v in s.shape])
+    crop_hw = (ctypes.c_int * (2 * n))(*[v for c in crops for v in c])
+    dst_hw = (ctypes.c_int * (2 * n))(*[v for hw in out_sizes for v in hw])
+
+    lib.ingest_batch(src_ptrs, src_hw, crop_hw, dst_hw, dst_ptrs, n, n_threads)
+    return dsts

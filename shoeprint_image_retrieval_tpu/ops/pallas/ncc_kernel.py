@@ -65,6 +65,7 @@ def _kernel_body(
     top: int,
     true_channels: int,
     u_blk: int,
+    compute_dtype,
     # refs
     gw_ref,      # SMEM (n_groups, 2) int32 window sizes
     gvalid_ref,  # SMEM (G, 2) int32 per-print valid sizes (full array)
@@ -90,7 +91,7 @@ def _kernel_body(
     padded = jnp.pad(
         p0_ref[0, 0],
         ((hk // 2, hk - 1 - hk // 2), (wk // 2, wk - 1 - wk // 2)),
-    )
+    )  # rolls must stay f32: Mosaic's rotate only handles 32-bit data
     wp = wb + wk - 1
     for v in range(wk):
         # rolls[v][., x] = padded[., x + v]  (jnp.roll by -v; pltpu.roll
@@ -107,7 +108,9 @@ def _kernel_body(
         u0 = ub * u_blk
         rows = min(u_blk, hk - u0)
         for u in range(rows):
-            pt_ref[u * wk : (u + 1) * wk] = rolls_ref[:, u0 + u : u0 + u + hb, 0:wb]
+            pt_ref[u * wk : (u + 1) * wk] = rolls_ref[
+                :, u0 + u : u0 + u + hb, 0:wb
+            ].astype(pt_ref.dtype)
         kblk = kern[:, u0 * wk : (u0 + rows) * wk]
         for y in range(hb):
             partial = jnp.dot(
@@ -163,11 +166,15 @@ def score_direct_pallas(
     groups: Sequence[VariantGroup],
     *,
     true_channels: int,
+    compute_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in fused-kernel equivalent of :func:`..ncc_direct.score_direct`.
 
-    Returns (N_total, G) float32 scores.
+    ``compute_dtype=jnp.bfloat16`` runs the correlation MXU dots in bf16
+    (f32 accumulation, energies and channel sum stay f32) — ~2x faster with
+    ~1e-3 relative score error; the f32 default preserves the
+    rankings-identical contract. Returns (N_total, G) float32 scores.
     """
     c_pad, g, hb, wb = cache.p0.shape
     hk, wk = groups[0].kernels.shape[-2:]
@@ -180,7 +187,9 @@ def score_direct_pallas(
         kernels = jnp.pad(kernels, ((0, 0), (0, c_pad - kernels.shape[1]), (0, 0), (0, 0)))
     if n_pad != n_total:
         kernels = jnp.pad(kernels, ((0, n_pad - n_total), (0, 0), (0, 0), (0, 0)))
-    kern_flat = jnp.transpose(kernels, (1, 0, 2, 3)).reshape(c_pad, n_pad, hk * wk)
+    kern_flat = jnp.transpose(kernels, (1, 0, 2, 3)).reshape(
+        c_pad, n_pad, hk * wk
+    ).astype(compute_dtype)
 
     top = hk // 2 + 1  # zero/edge extension headroom for clipped box indices
     int1e = _extend_integral(cache.int1, top, top + 1)
@@ -197,7 +206,8 @@ def score_direct_pallas(
     u_blk = max(1, min(hk, budget // max(1, wk * tile_bytes)))
 
     body = functools.partial(
-        _kernel_body, counts, hb, wb, hk, wk, top, true_channels, u_blk
+        _kernel_body, counts, hb, wb, hk, wk, top, true_channels, u_blk,
+        compute_dtype,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -216,7 +226,7 @@ def score_direct_pallas(
         scratch_shapes=[
             pltpu.VMEM((n_pad, hb, wb), jnp.float32),
             pltpu.VMEM((wk, hb + hk - 1, wb + wk - 1), jnp.float32),
-            pltpu.VMEM((min(u_blk, hk) * wk, hb, wb), jnp.float32),
+            pltpu.VMEM((min(u_blk, hk) * wk, hb, wb), compute_dtype),
             pltpu.VMEM((n_pad, hb, wb), jnp.float32),
         ],
     )

@@ -49,6 +49,7 @@ from ..ops.pallas.ncc_kernel import score_direct_pallas
 from ..ops.preprocess import normalize_batch
 from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
 from ..utils.tracing import stage_timer
+from .gallery import GalleryFeatureCache
 
 
 @dataclass
@@ -74,6 +75,7 @@ class Pipeline:
         self.spec = get_backbone(model_cfg["type"])
         self.weights_dir = weights_dir
         self._param_cache: dict[int, tuple] = {}
+        self.gallery_cache = GalleryFeatureCache(config["tpu"]["cache_dir"] or None)
 
         planner_cfg = PlannerConfig(
             minimum_dim=model_cfg["minimum_dim"],
@@ -194,74 +196,126 @@ class Pipeline:
         use_pallas = backend == "pallas" or (
             backend == "auto" and jax.default_backend() not in ("cpu",)
         )
-        scorer = score_direct_pallas if use_pallas else score_direct
+        # tpu.precision="bfloat16": bf16 correlation inputs, f32 accumulation
+        # (~2x MXU at ~1e-3 relative score error; f32 default keeps the
+        # rankings-identical contract)
+        dtype = (
+            jnp.bfloat16
+            if self.config["tpu"].get("precision") == "bfloat16"
+            else jnp.float32
+        )
+        scorer = partial(
+            score_direct_pallas if use_pallas else score_direct,
+            compute_dtype=dtype,
+        )
 
         fold = jax.vmap(fold_template, in_axes=(0, None, None))
+
+        # Queries are scored PROBE_BATCH at a time: each probe contributes
+        # ~(1+R)(1+S) variants to the kernel's output-channel axis, and the
+        # MXU wants that axis near 128 (e.g. 5 probes x 25 variants = 125).
+        n_var = 1 + (1 + n_rot) * n_scl if n_scl else 1 + (n_rot if n_rot else 0)
+        if mode == "full" and n_scl:
+            n_var += n_rot
+        pb = max(1, min(len(q_maps), max(1, 128 // max(1, n_var))))
 
         # cache is a jit *argument* (not a closure capture): jit would
         # constant-fold captured arrays via a device->host pull, and large
         # transfers hang over the axon TPU tunnel.
         @jax.jit
-        def score_query(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
-            # rotated stack (R+1, C, hc, wc): gather + mask
-            flat = maps.reshape(maps.shape[0], hc * wc)
-            rot = jnp.take(flat, ridx, axis=1)  # (C, R+1, hc*wc)
-            rot = jnp.moveaxis(rot, 0, 1).reshape(-1, maps.shape[0], hc, wc)
-            rot = jnp.where(rok[:, None], rot, 0.0)
-
+        def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
             groups = []
-            include_rots_unscaled = mode == "full" or (n_rot and not n_scl)
-            base = rot if include_rots_unscaled else rot[:1]
-            groups.append(
-                VariantGroup(fold(base, valid, kernel_hw), valid - 2 * EDGE_CROP)
-            )
-            if n_scl:
-                # scaled variants of each rotated map: two batched matmuls
-                scaled = jnp.einsum(
-                    "soh,rchw,spw->rscop", wvq, rot, whq, precision="highest"
-                )  # (R+1, S, C, tc0, tc1)
-                for si in range(n_scl):
-                    groups.append(
-                        VariantGroup(
-                            fold(scaled[:, si], shw[si], kernel_hw),
-                            shw[si] - 2 * EDGE_CROP,
+            for p in range(pb):
+                # rotated stack (R+1, C, hc, wc): gather + mask
+                flat = maps[p].reshape(maps.shape[1], hc * wc)
+                rot = jnp.take(flat, ridx[p], axis=1)  # (C, R+1, hc*wc)
+                rot = jnp.moveaxis(rot, 0, 1).reshape(-1, maps.shape[1], hc, wc)
+                rot = jnp.where(rok[p][:, None], rot, 0.0)
+
+                include_rots_unscaled = mode == "full" or (n_rot and not n_scl)
+                base = rot if include_rots_unscaled else rot[:1]
+                groups.append(
+                    VariantGroup(fold(base, valid[p], kernel_hw), valid[p] - 2 * EDGE_CROP)
+                )
+                if n_scl:
+                    # scaled variants of each rotated map: two batched matmuls
+                    scaled = jnp.einsum(
+                        "soh,rchw,spw->rscop", wvq[p], rot, whq[p], precision="highest"
+                    )  # (R+1, S, C, tc0, tc1)
+                    for si in range(n_scl):
+                        groups.append(
+                            VariantGroup(
+                                fold(scaled[:, si], shw[p, si], kernel_hw),
+                                shw[p, si] - 2 * EDGE_CROP,
+                            )
                         )
-                    )
             scores = scorer(cache_arg, groups, true_channels=true_c)
-            return jnp.max(scores, axis=0)
+            g = scores.shape[1]
+            return jnp.max(scores.reshape(pb, n_var, g), axis=1)  # (pb, G)
+
+        def pad_batch(arr, lo):
+            """Pad a probe batch to ``pb`` by repeating the last probe."""
+            take = arr[lo : lo + pb]
+            if len(take) < pb:
+                take = np.concatenate(
+                    [take, np.repeat(take[-1:], pb - len(take), axis=0)]
+                )
+            return jnp.asarray(take)
 
         rows = []
-        for qi in range(len(q_maps)):
-            rows.append(
-                np.asarray(
-                    score_query(
-                        cache,
-                        jnp.asarray(q_maps[qi]), jnp.asarray(q_valid[qi]),
-                        jnp.asarray(rot_idx[qi]), jnp.asarray(rot_ok[qi]),
-                        jnp.asarray(wv[qi]), jnp.asarray(wh[qi]),
-                        jnp.asarray(scale_hw[qi]),
-                    )
+        for lo in range(0, len(q_maps), pb):
+            out = np.asarray(
+                score_batch(
+                    cache,
+                    pad_batch(q_maps, lo), pad_batch(q_valid, lo),
+                    pad_batch(rot_idx, lo), pad_batch(rot_ok, lo),
+                    pad_batch(wv, lo), pad_batch(wh, lo),
+                    pad_batch(scale_hw, lo),
                 )
             )
-            if self.verbose and (qi + 1) % 10 == 0:
-                print(f"  scored {qi + 1}/{len(q_maps)} queries")
-        return np.stack(rows)
+            rows.append(out[: min(pb, len(q_maps) - lo)])
+            if self.verbose:
+                done = min(lo + pb, len(q_maps))
+                if done % 10 < pb or done == len(q_maps):
+                    print(f"  scored {done}/{len(q_maps)} queries")
+        return np.concatenate(rows)
 
     # ------------------------------------------------------------------
     def run_cluster(self, plan) -> ClusterOutput:
         crop = self.config["dataset"]["crop"]
         n_threads = self.config["dataset"]["n_processes"]
+        gkey_probe = GalleryFeatureCache.key(
+            self.config["model"]["type"], plan.block, plan.scale,
+            self.dataset.gallery_files,
+        )
         with stage_timer("ingest", self.verbose):
             q_files = sorted(plan.files)
             q_imgs = load_images(self.dataset.query_dir, q_files, plan.scale, crop, n_threads)
-            g_imgs = load_images(
-                self.dataset.gallery_dir, self.dataset.gallery_files, plan.scale, crop, n_threads
+            g_imgs = (
+                None
+                if self.gallery_cache.get(gkey_probe) is not None
+                else load_images(
+                    self.dataset.gallery_dir, self.dataset.gallery_files,
+                    plan.scale, crop, n_threads,
+                )
             )
         _, params, step = self._model_for_block(plan.block)
         with stage_timer("extract-query", self.verbose):
             q_maps, q_valid = self._extract(step, params, q_imgs)
         with stage_timer("extract-gallery", self.verbose):
-            g_maps, g_valid = self._extract(step, params, g_imgs)
+            # the reference re-extracts the whole gallery per cluster
+            # (reference run.py:24); merged clusters and warm restarts hit
+            # the (model, block, scale)-keyed cache instead
+            gkey = GalleryFeatureCache.key(
+                self.config["model"]["type"], plan.block, plan.scale,
+                self.dataset.gallery_files,
+            )
+            cached = self.gallery_cache.get(gkey)
+            if cached is None:
+                g_maps, g_valid = self._extract(step, params, g_imgs)
+                self.gallery_cache.put(gkey, g_maps, g_valid)
+            else:
+                g_maps, g_valid = cached
         with stage_timer("score", self.verbose):
             scores = self._score_cluster(q_maps, q_valid, g_maps, g_valid)
         pairs = self.dataset.matching_pairs(q_files)

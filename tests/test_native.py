@@ -1,0 +1,76 @@
+"""Native C++ ingest vs PIL: bit-exactness of the crop + Lanczos3 path.
+
+The reference does this per image inside forked Python workers with PIL
+(reference dataloader.py:212-237); the native library must reproduce PIL's
+8-bit fixed-point two-pass resampling exactly.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from shoeprint_image_retrieval_tpu.data import native_ingest
+
+pytestmark = pytest.mark.skipif(
+    not native_ingest.available(), reason="no g++ / native build failed"
+)
+
+
+def _pil_reference(img, crop_ratio, scale):
+    im = Image.fromarray(img)
+    ch = math.floor(im.height * crop_ratio[0])
+    cw = math.floor(im.width * crop_ratio[1])
+    im = im.crop((cw, ch, im.width - cw, im.height - ch))
+    out = im.resize((int(im.width * scale), int(im.height * scale)),
+                    Image.Resampling.LANCZOS)
+    return np.asarray(out), (ch, cw)
+
+
+@pytest.mark.parametrize("scale", [0.37, 0.5, 0.93, 1.0, 1.3])
+@pytest.mark.parametrize("shape", [(120, 90), (77, 133), (64, 64)])
+def test_crop_resize_bit_exact_vs_pil(shape, scale):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    crop_ratio = (0.1, 0.2)
+    want, (ch, cw) = _pil_reference(img, crop_ratio, scale)
+
+    got = native_ingest.crop_resize_batch(
+        [img], [(ch, cw)], [want.shape], n_threads=1
+    )[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_threads_match_pil():
+    rng = np.random.default_rng(1)
+    imgs, crops, outs, wants = [], [], [], []
+    for _ in range(12):
+        h, w = int(rng.integers(50, 140)), int(rng.integers(50, 140))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        scale = float(rng.uniform(0.4, 1.2))
+        want, (ch, cw) = _pil_reference(img, (0.05, 0.1), scale)
+        imgs.append(img)
+        crops.append((ch, cw))
+        outs.append(want.shape)
+        wants.append(want)
+    got = native_ingest.crop_resize_batch(imgs, crops, outs, n_threads=4)
+    for g, w in zip(got, wants):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_loader_native_path_matches_pil_path(tmp_path):
+    """load_images with and without the native fast path agree exactly."""
+    from shoeprint_image_retrieval_tpu.data.loader import load_images
+
+    rng = np.random.default_rng(2)
+    for i in range(4):
+        h, w = int(rng.integers(60, 120)), int(rng.integers(60, 120))
+        Image.fromarray(rng.integers(0, 256, size=(h, w), dtype=np.uint8)).save(
+            tmp_path / f"{i}.png"
+        )
+    files = sorted(p.name for p in tmp_path.iterdir())
+    a = load_images(tmp_path, files, 0.7, (0.1, 0.2), 2, use_native=True)
+    b = load_images(tmp_path, files, 0.7, (0.1, 0.2), 2, use_native=False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

@@ -141,3 +141,45 @@ def test_pipeline_deterministic(dataset, tmp_path):
     r1 = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
     r2 = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
     assert r1 == r2
+
+
+def test_gallery_cache_roundtrip(tmp_path):
+    """RAM + disk gallery feature cache (SURVEY.md section 5: the reference's
+    gitignored Memmaps experiments, now a real subsystem)."""
+    import numpy as np
+
+    from shoeprint_image_retrieval_tpu.retrieval.gallery import GalleryFeatureCache
+
+    maps = np.random.default_rng(0).normal(size=(3, 4, 8, 8)).astype(np.float32)
+    valid = np.asarray([[8, 8]] * 3, np.int32)
+    key = GalleryFeatureCache.key("VGG16", 5, 0.75, ["a.png", "b.png"])
+    # changed gallery listing -> different key
+    assert key != GalleryFeatureCache.key("VGG16", 5, 0.75, ["a.png", "c.png"])
+
+    disk = GalleryFeatureCache(tmp_path / "cache")
+    assert disk.get(key) is None
+    disk.put(key, maps, valid)
+    got = disk.get(key)
+    np.testing.assert_array_equal(got[0], maps)
+
+    # a fresh instance warm-starts from disk
+    disk2 = GalleryFeatureCache(tmp_path / "cache")
+    got2 = disk2.get(key)
+    np.testing.assert_array_equal(got2[0], maps)
+    np.testing.assert_array_equal(got2[1], valid)
+
+
+def test_pipeline_gallery_cache_reuse(dataset, tmp_path):
+    """Second run with a disk cache skips gallery re-extraction and produces
+    identical rankings."""
+    cfg_path = tmp_path / "run.toml"
+    text = RUN_TOML.format(dir=str(dataset)).replace(
+        "extraction_batch = 4",
+        f'extraction_batch = 4\ncache_dir = "{tmp_path / "gcache"}"',
+    )
+    cfg_path.write_text(text)
+    config = load_config(cfg_path)
+    r1 = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
+    assert list((tmp_path / "gcache").glob("*.npz"))
+    r2 = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
+    assert r1 == r2
