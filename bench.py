@@ -120,7 +120,7 @@ def main() -> None:
     # NOTE: the cache must be a jit *argument*, not a closure capture — jit
     # constant-folds closures by pulling them to host, and large device->host
     # transfers hang over the axon tunnel.
-    PB = min(5, Q)
+    PB = int(os.environ.get("BENCH_PB", "5")); PB = min(PB, Q)
     n_var = 1 + (1 + n_rot) * n_scl
     fold = jax.vmap(fold_template, in_axes=(0, None, None))
 

@@ -2,29 +2,36 @@
 
 Computes the same quantity as :func:`..ncc_direct.score_direct` (the
 reference's per-pair normalized cross-correlation, summed over channels,
-maxed over shifts — reference similarity.py:26-108) in ONE kernel per
-(print, channel) grid step, with every per-channel intermediate living in
-VMEM:
+maxed over shifts — reference similarity.py:26-108) with every per-channel
+intermediate living in VMEM.
 
-grid = (G, C), sequential. Per step:
+grid = (G / GT, C), sequential; each step handles GT prints x 1 channel:
 
-1. **Patch build** (VMEM only): the zero-padded print channel is lane-rolled
-   ``wk`` times (one (Hp, Wp) roll per tap column), then ``hk`` block copies
-   assemble the full im2col patch matrix ``Pt (hk*wk, Hb*Wb)`` — ~9 MB of
-   VMEM traffic instead of the ~1 GB/channel the XLA conv paths spill to HBM.
-2. **One MXU dot**: ``kernels (N, hk*wk) @ Pt`` — a 1156-deep contraction
-   with every variant of every probe in the batch on the output axis.
-3. **Energy epilogue**: per window-size group, local window energies come
-   from 4 dynamic slices of edge-extended integral images (the clip
-   semantics of box sums are baked into the extension), giving
-   ``inv_e = 1/sqrt(energy)``; the group's correlation rows are scaled and
-   accumulated into a VMEM accumulator that persists across the C grid
-   steps.
-4. At the last channel step: masked max over the print's valid positions,
-   ``/ C`` (reference similarity.py:106-108), one (N,) row to HBM.
+1. **Gallery lane packing**: GT prints sit side by side on the lane axis
+   with a (wk-1)-zero separation, so correlation windows never cross print
+   boundaries and the dot's output lanes are ~fully dense (GT*wb ~ 128
+   instead of wb ~ 42 of 128 — a naive single-print layout wastes ~3x of
+   every MXU pass on lane padding).
+2. **Patch build** (VMEM only): the vertically padded packed canvas is
+   lane-rolled once per tap column; tap-row-blocked block copies assemble
+   the im2col patch stack.
+3. **MXU dots**: per output row, ``kernels (N, u_blk*wk) @ patches`` with
+   every variant of every probe in the batch on the N axis.
+4. **Energy epilogue**: per window-size group, box sums come from packed,
+   edge-extended integral images via dynamic sublane slices + dynamic
+   lane-rolls (clip semantics baked into the extension); ``1/sqrt(energy)``
+   scales the group's rows into a VMEM accumulator that persists across the
+   C grid steps.
+5. At the last channel step: per-print masked max over valid positions,
+   ``/ C`` (reference similarity.py:106-108), one (N,) row per print to HBM.
 
-HBM traffic per probe-batch is just the cache + kernel reads (~30 GB at
-WVU scale vs ~1 TB for the XLA formulations).
+HBM traffic per probe-batch is the cache + kernel reads (~30 GB at WVU
+scale vs ~1 TB materialized by the XLA formulations).
+
+Mosaic constraints encoded here: no lane-crossing reshapes; dynamic slicing
+only through refs (`pl.ds`) and only on sublanes; dynamic lane selection via
+`pltpu.roll` on 128-aligned widths; rolls require 32-bit data; reductions
+one axis at a time.
 """
 
 from __future__ import annotations
@@ -42,66 +49,67 @@ from ..ncc_direct import DirectGalleryCache, VariantGroup
 
 def _extend_integral(integral: jnp.ndarray, top: int, bot: int) -> jnp.ndarray:
     """Pad an integral image with zeros (top/left) and edge-replication
-    (bottom/right) so clipped box-sum indices become plain offsets.
-
-    The width is additionally padded to a multiple of 128: the kernel selects
-    box-sum columns with dynamic lane-rolls, which Mosaic only supports on
-    lane-aligned shapes (the extra columns are never read).
-    """
+    (bottom/right) so clipped box-sum indices become plain offsets."""
     z = jnp.pad(integral, [(0, 0)] * (integral.ndim - 2) + [(top, 0), (top, 0)])
-    w = z.shape[-1] + bot
-    w_pad = -(-w // 128) * 128 - z.shape[-1]
-    return jnp.pad(
-        z, [(0, 0)] * (integral.ndim - 2) + [(0, bot), (0, w_pad)], mode="edge"
-    )
+    return jnp.pad(z, [(0, 0)] * (integral.ndim - 2) + [(0, bot), (0, bot)], mode="edge")
+
+
+def _pack_lanes(x: jnp.ndarray, gt: int) -> jnp.ndarray:
+    """(C, G, H, W) -> (C, G/gt, H, gt*W): gt prints side by side on lanes."""
+    c, g, h, w = x.shape
+    x = x.reshape(c, g // gt, gt, h, w)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))
+    return x.reshape(c, g // gt, h, gt * w)
 
 
 def _kernel_body(
     counts: tuple[int, ...],
+    gt: int,
     hb: int,
     wb: int,
     hk: int,
     wk: int,
+    we: int,
     top: int,
     true_channels: int,
     u_blk: int,
     compute_dtype,
     # refs
     gw_ref,      # SMEM (n_groups, 2) int32 window sizes
-    gvalid_ref,  # SMEM (G, 2) int32 per-print valid sizes (full array)
-    p0_ref,      # VMEM (1, 1, hb, wb)
-    int1_ref,    # VMEM (1, 1, he, we) extended integral
-    int2_ref,    # VMEM (1, 1, he, we)
+    gvalid_ref,  # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
+    p0_ref,      # VMEM (1, 1, hb, gt*ws) packed prints
+    int1_ref,    # VMEM (1, 1, he, Wi) packed extended integrals
+    int2_ref,    # VMEM (1, 1, he, Wi)
     kern_ref,    # VMEM (1, n_pad, hk*wk)
-    out_ref,     # VMEM (G, n_pad) — full scores block, row gg written per print
-    acc_ref,     # scratch VMEM (n_pad, hb, wb)
-    rolls_ref,   # scratch VMEM (wk, hp, wp)
-    pt_ref,      # scratch VMEM (hk*wk, hb, wb)
-    corr_ref,    # scratch VMEM (n_pad, hb, wb)
+    out_ref,     # VMEM (G_pad, n_pad) — full scores block
+    acc_ref,     # scratch VMEM (n_pad, hb, gt*wb)
+    rolls_ref,   # scratch VMEM (wk, hp, gt*ws)
+    pt_ref,      # scratch VMEM (u_blk*wk, hb, gt*wb)
+    corr_ref,    # scratch VMEM (n_pad, hb, gt*wb)
 ):
     gg = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
+    ws = wb + wk - 1
 
     @pl.when(c == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # --- patch build (all VMEM; no lane-crossing reshapes) -----------------
-    padded = jnp.pad(
-        p0_ref[0, 0],
-        ((hk // 2, hk - 1 - hk // 2), (wk // 2, wk - 1 - wk // 2)),
-    )  # rolls must stay f32: Mosaic's rotate only handles 32-bit data
-    wp = wb + wk - 1
+    # --- patch build (VMEM; rolls stay f32: Mosaic rotate is 32-bit only) --
+    padded = jnp.pad(p0_ref[0, 0], ((hk // 2, hk - 1 - hk // 2), (0, 0)))
+    wp = gt * ws
     for v in range(wk):
-        # rolls[v][., x] = padded[., x + v]  (jnp.roll by -v; pltpu.roll
-        # requires a non-negative shift, so roll by wp - v)
-        rolls_ref[v] = pltpu.roll(padded, wp - v, axis=1) if v else padded
+        # rolled[., x] = padded[., x + v]; windows stay inside each print's
+        # ws-wide span because x_local + v <= wb - 1 + wk - 1 < ws. Stored
+        # compacted to the per-print wb columns (the ws-wide scratch would
+        # dominate VMEM at packed widths).
+        rolled = pltpu.roll(padded, wp - v, axis=1) if v else padded
+        rolls_ref[v] = jnp.concatenate(
+            [rolled[:, p * ws : p * ws + wb] for p in range(gt)], axis=1
+        )
 
     # --- MXU dots, tap-row-blocked to fit the patch scratch in VMEM --------
-    # For each block of u_blk tap rows: assemble that slice of the im2col
-    # patch stack, then one (N, u_blk*wk) @ (u_blk*wk, wb) GEMM per output
-    # row, accumulated into corr.
     kern = kern_ref[0]  # (n_pad, T)
     n_blocks = -(-hk // u_blk)
     for ub in range(n_blocks):
@@ -109,7 +117,7 @@ def _kernel_body(
         rows = min(u_blk, hk - u0)
         for u in range(rows):
             pt_ref[u * wk : (u + 1) * wk] = rolls_ref[
-                :, u0 + u : u0 + u + hb, 0:wb
+                :, u0 + u : u0 + u + hb, :
             ].astype(pt_ref.dtype)
         kblk = kern[:, u0 * wk : (u0 + rows) * wk]
         for y in range(hb):
@@ -122,6 +130,7 @@ def _kernel_body(
                 corr_ref[:, y, :] += partial
 
     # --- per-group energy epilogue -----------------------------------------
+    wi = int1_ref.shape[-1]  # 128-aligned packed integral width
     start = 0
     for gi, cnt in enumerate(counts):
         h = gw_ref[gi, 0]
@@ -132,15 +141,21 @@ def _kernel_body(
         hi_w = top + (w - 1) // 2 + 1
 
         def box(i_ref):
-            # dynamic sublane starts are fine; dynamic LANE offsets are not —
-            # column selection happens via dynamic lane-rolls instead
-            we = i_ref.shape[-1]
-            rowdiff = (
-                i_ref[0, 0, pl.ds(hi_h, hb), :] - i_ref[0, 0, pl.ds(lo_h, hb), :]
-            )  # (hb, we)
-            hi = pltpu.roll(rowdiff, we - hi_w, axis=1)[:, :wb]
-            lo = pltpu.roll(rowdiff, we - lo_w, axis=1)[:, :wb]
-            return hi - lo
+            # dynamic offsets become dynamic rolls (Mosaic forbids unaligned
+            # dynamic slice starts): sublane rolls select the two row
+            # windows, lane rolls the two column offsets, then compact
+            # per-print static slices
+            full = i_ref[0, 0]  # (he, wi); he 8-aligned, wi 128-aligned
+            he = full.shape[0]
+            hi_rows = pltpu.roll(full, he - hi_h, axis=0)[:hb]
+            lo_rows = pltpu.roll(full, he - lo_h, axis=0)[:hb]
+            rowdiff = hi_rows - lo_rows  # (hb, Wi)
+            hi = pltpu.roll(rowdiff, wi - hi_w, axis=1)
+            lo = pltpu.roll(rowdiff, wi - lo_w, axis=1)
+            d = hi - lo
+            return jnp.concatenate(
+                [d[:, p * we : p * we + wb] for p in range(gt)], axis=1
+            )  # (hb, gt*wb)
 
         b1 = box(int1_ref)
         b2 = box(int2_ref)
@@ -150,15 +165,19 @@ def _kernel_body(
         acc_ref[start : start + cnt] += corr_ref[start : start + cnt] * inv_e[None]
         start += cnt
 
-    # --- final masked max at the last channel -----------------------------
+    # --- final per-print masked max at the last channel --------------------
     @pl.when(c == n_c - 1)
     def _finish():
         rows = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
-        ok = (rows < gvalid_ref[gg, 0]) & (cols < gvalid_ref[gg, 1])
-        masked = jnp.where(ok[None], acc_ref[:], jnp.float32(-jnp.inf))
-        # two chained single-axis maxes: Mosaic miscompiles axis=(1, 2)
-        out_ref[gg, :] = jnp.max(jnp.max(masked, axis=2), axis=1) / true_channels
+        for p in range(gt):
+            gidx = gg * gt + p
+            ok = (rows < gvalid_ref[gidx, 0]) & (cols < gvalid_ref[gidx, 1])
+            masked = jnp.where(
+                ok[None], acc_ref[:, :, p * wb : (p + 1) * wb], jnp.float32(-jnp.inf)
+            )
+            # chained single-axis maxes: Mosaic miscompiles axis=(1, 2)
+            out_ref[gidx, :] = jnp.max(jnp.max(masked, axis=2), axis=1) / true_channels
 
 
 def score_direct_pallas(
@@ -167,20 +186,23 @@ def score_direct_pallas(
     *,
     true_channels: int,
     compute_dtype=jnp.float32,
+    prints_per_step: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in fused-kernel equivalent of :func:`..ncc_direct.score_direct`.
 
     ``compute_dtype=jnp.bfloat16`` runs the correlation MXU dots in bf16
-    (f32 accumulation, energies and channel sum stay f32) — ~2x faster with
-    ~1e-3 relative score error; the f32 default preserves the
-    rankings-identical contract. Returns (N_total, G) float32 scores.
+    (f32 accumulation; measured slower than f32 at reference shapes — kept
+    as an experiment). Returns (N_total, G) float32 scores.
     """
     c_pad, g, hb, wb = cache.p0.shape
     hk, wk = groups[0].kernels.shape[-2:]
     counts = tuple(int(grp.kernels.shape[0]) for grp in groups)
     n_total = sum(counts)
     n_pad = -(-n_total // 8) * 8
+
+    gt = prints_per_step or max(1, min(4, 128 // wb))
+    g_pad = -(-g // gt) * gt
 
     kernels = jnp.concatenate([grp.kernels for grp in groups])  # (N, C, hk, wk)
     if kernels.shape[1] != c_pad:
@@ -191,57 +213,83 @@ def score_direct_pallas(
         c_pad, n_pad, hk * wk
     ).astype(compute_dtype)
 
-    top = hk // 2 + 1  # zero/edge extension headroom for clipped box indices
-    int1e = _extend_integral(cache.int1, top, top + 1)
-    int2e = _extend_integral(cache.int2, top, top + 1)
+    def pad_g(a):
+        return jnp.pad(a, ((0, 0), (0, g_pad - g), (0, 0), (0, 0)))
+
+    # packed prints: per-print span ws with the content at lane offset wk//2
+    ws = wb + wk - 1
+    p0p = jnp.pad(pad_g(cache.p0), ((0, 0), (0, 0), (0, 0), (wk // 2, ws - wb - wk // 2)))
+    p0p = _pack_lanes(p0p, gt)  # (C, G/gt, hb, gt*ws)
+
+    # packed, edge-extended integral images; total width 128-aligned for the
+    # dynamic lane-rolls (padding is never read: hi_w + wb <= we)
+    top = hk // 2 + 1
+    int1e = _extend_integral(pad_g(cache.int1), top, top + 1)
+    int2e = _extend_integral(pad_g(cache.int2), top, top + 1)
+    # height 8-aligned for the dynamic sublane rolls (padding is never read)
+    he_pad = -(-int1e.shape[-2] // 8) * 8 - int1e.shape[-2]
+    int1e = jnp.pad(int1e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
+    int2e = jnp.pad(int2e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
     he, we = int1e.shape[-2], int1e.shape[-1]
+    int1p = _pack_lanes(int1e, gt)
+    int2p = _pack_lanes(int2e, gt)
+    wi = -(-(gt * we) // 128) * 128
+    int1p = jnp.pad(int1p, ((0, 0), (0, 0), (0, 0), (0, wi - gt * we)))
+    int2p = jnp.pad(int2p, ((0, 0), (0, 0), (0, 0), (0, wi - gt * we)))
+
+    gvalid = jnp.concatenate(
+        [cache.valid_hw, jnp.full((g_pad - g, 2), 8, cache.valid_hw.dtype)]
+    ).astype(jnp.int32)
 
     group_win = jnp.stack([jnp.asarray(grp.window_hw) for grp in groups]).astype(jnp.int32)
 
-    # tap-row block size: keep the patch scratch (whose (hb, wb) minor dims
-    # tile-pad to multiples of (8, 128)) within the VMEM budget
-    tile_bytes = (-(-hb // 8) * 8) * (-(-wb // 128) * 128) * 4
-    fixed = (2 * n_pad + wk + hk) * tile_bytes  # corr + acc + rolls-ish
-    budget = 13 * 1024 * 1024 - fixed
+    # tap-row block size: keep the patch scratch within the VMEM budget
+    lane_tiles = -(-(gt * wb) // 128) * 128
+    tile_bytes = (-(-hb // 8) * 8) * lane_tiles * 4
+    fixed = (2 * n_pad) * tile_bytes + wk * (-(-(hb + hk - 1) // 8) * 8) * (
+        -(-(gt * wb) // 128) * 128
+    ) * 4
+    budget = int(9.6 * 1024 * 1024) - fixed
     u_blk = max(1, min(hk, budget // max(1, wk * tile_bytes)))
 
     body = functools.partial(
-        _kernel_body, counts, hb, wb, hk, wk, top, true_channels, u_blk,
-        compute_dtype,
+        _kernel_body, counts, gt, hb, wb, hk, wk, we, top, true_channels,
+        u_blk, compute_dtype,
     )
 
+    n_gg = g_pad // gt
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(g, c_pad),
+        grid=(n_gg, c_pad),
         in_specs=[
             pl.BlockSpec((len(groups), 2), lambda gg, cc: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((g, 2), lambda gg, cc: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, hb, wb), lambda gg, cc: (cc, gg, 0, 0)),
-            pl.BlockSpec((1, 1, he, we), lambda gg, cc: (cc, gg, 0, 0)),
-            pl.BlockSpec((1, 1, he, we), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((g_pad, 2), lambda gg, cc: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, hb, gt * ws), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, 1, he, wi), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, 1, he, wi), lambda gg, cc: (cc, gg, 0, 0)),
             pl.BlockSpec((1, n_pad, hk * wk), lambda gg, cc: (cc, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((g, n_pad), lambda gg, cc: (0, 0)),
+        out_specs=pl.BlockSpec((g_pad, n_pad), lambda gg, cc: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((n_pad, hb, wb), jnp.float32),
-            pltpu.VMEM((wk, hb + hk - 1, wb + wk - 1), jnp.float32),
-            pltpu.VMEM((min(u_blk, hk) * wk, hb, wb), compute_dtype),
-            pltpu.VMEM((n_pad, hb, wb), jnp.float32),
+            pltpu.VMEM((n_pad, hb, gt * wb), jnp.float32),
+            pltpu.VMEM((wk, hb + hk - 1, gt * wb), jnp.float32),
+            pltpu.VMEM((min(u_blk, hk) * wk, hb, gt * wb), compute_dtype),
+            pltpu.VMEM((n_pad, hb, gt * wb), jnp.float32),
         ],
     )
 
     scores = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_pad, n_pad), jnp.float32),
         interpret=interpret,
     )(
         group_win,
-        cache.valid_hw.astype(jnp.int32),
-        cache.p0,
-        int1e,
-        int2e,
+        gvalid,
+        p0p,
+        int1p,
+        int2p,
         kern_flat,
     )
-    return jnp.transpose(scores)[:n_total]
+    return jnp.transpose(scores)[:n_total, :g]

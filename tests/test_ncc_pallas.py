@@ -79,3 +79,29 @@ def test_pallas_zero_template_and_flat_print():
     )
     assert np.isfinite(got).all()
     assert (got == 0).all()
+
+
+def test_pallas_lane_packing_invariance():
+    """Scores must not depend on prints_per_step (lane packing is layout)."""
+    rng = np.random.default_rng(2)
+    c = 4
+    prints = [
+        rng.normal(size=(c, int(rng.integers(13, 19)), int(rng.integers(13, 19)))).astype(np.float32)
+        for _ in range(7)  # odd count: exercises gallery padding per gt
+    ]
+    gal, gv = _pad_stack(prints, (19, 19))
+    cache = build_direct_cache(gal, gv, channel_block=4)
+    marks = [rng.normal(size=(c, 11, 12)).astype(np.float32) for _ in range(2)]
+    tm, tv = _pad_stack(marks, (12, 12))
+    groups = [
+        VariantGroup(fold_template(tm[i], tv[i], (8, 8))[None], tv[i] - 4)
+        for i in range(2)
+    ]
+    want = np.asarray(score_direct(cache, groups, true_channels=c))
+    for gt in (1, 2, 3):
+        got = np.asarray(
+            score_direct_pallas(
+                cache, groups, true_channels=c, prints_per_step=gt, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6, err_msg=f"gt={gt}")
