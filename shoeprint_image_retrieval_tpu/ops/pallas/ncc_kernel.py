@@ -78,8 +78,7 @@ def _kernel_body(
     gw_ref,      # SMEM (n_groups, 2) int32 window sizes
     gvalid_ref,  # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
     p0_ref,      # VMEM (1, 1, hb, gt*ws) packed prints
-    int1_ref,    # VMEM (1, 1, he, Wi) packed extended integrals
-    int2_ref,    # VMEM (1, 1, he, Wi)
+    int12_ref,   # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
     kern_ref,    # VMEM (1, n_pad, hk*wk)
     out_ref,     # VMEM (G_pad, n_pad) — full scores block
     acc_ref,     # scratch VMEM (n_pad, hb, gt*wb)
@@ -130,7 +129,9 @@ def _kernel_body(
                 corr_ref[:, y, :] += partial
 
     # --- per-group energy epilogue -----------------------------------------
-    wi = int1_ref.shape[-1]  # 128-aligned packed integral width
+    wi = int12_ref.shape[-1]  # 128-aligned packed integral width
+    he2 = int12_ref.shape[-2]  # 2*he: int1 stacked over int2
+    he = he2 // 2
     start = 0
     for gi, cnt in enumerate(counts):
         h = gw_ref[gi, 0]
@@ -140,25 +141,28 @@ def _kernel_body(
         lo_w = top - w // 2
         hi_w = top + (w - 1) // 2 + 1
 
-        def box(i_ref):
-            # dynamic offsets become dynamic rolls (Mosaic forbids unaligned
-            # dynamic slice starts): sublane rolls select the two row
-            # windows, lane rolls the two column offsets, then compact
-            # per-print static slices
-            full = i_ref[0, 0]  # (he, wi); he 8-aligned, wi 128-aligned
-            he = full.shape[0]
-            hi_rows = pltpu.roll(full, he - hi_h, axis=0)[:hb]
-            lo_rows = pltpu.roll(full, he - lo_h, axis=0)[:hb]
-            rowdiff = hi_rows - lo_rows  # (hb, Wi)
-            hi = pltpu.roll(rowdiff, wi - hi_w, axis=1)
-            lo = pltpu.roll(rowdiff, wi - lo_w, axis=1)
-            d = hi - lo
-            return jnp.concatenate(
-                [d[:, p * we : p * we + wb] for p in range(gt)], axis=1
-            )  # (hb, gt*wb)
-
-        b1 = box(int1_ref)
-        b2 = box(int2_ref)
+        # dynamic offsets become dynamic rolls (Mosaic forbids unaligned
+        # dynamic slice starts). int1 and int2 are stacked on sublanes so one
+        # pair of sublane rolls serves both box sums: rolled[y] reads
+        # full[y + off] within each half because off + hb < he.
+        full = int12_ref[0, 0]  # (2he, wi)
+        hi_rows = pltpu.roll(full, he2 - hi_h, axis=0)
+        lo_rows = pltpu.roll(full, he2 - lo_h, axis=0)
+        rowdiff = jnp.concatenate(
+            [
+                hi_rows[:hb] - lo_rows[:hb],            # int1 rows
+                hi_rows[he : he + hb] - lo_rows[he : he + hb],  # int2 rows
+            ],
+            axis=0,
+        )  # (2hb, wi)
+        hi = pltpu.roll(rowdiff, wi - hi_w, axis=1)
+        lo = pltpu.roll(rowdiff, wi - lo_w, axis=1)
+        d = hi - lo
+        compact = jnp.concatenate(
+            [d[:, p * we : p * we + wb] for p in range(gt)], axis=1
+        )  # (2hb, gt*wb)
+        b1 = compact[:hb]
+        b2 = compact[hb:]
         n_win = (h * w).astype(jnp.float32)
         energy = jnp.maximum(b2 - b1 * b1 / n_win, 0.0)
         inv_e = jnp.where(energy > 0, jax.lax.rsqrt(energy), 0.0)
@@ -231,11 +235,9 @@ def score_direct_pallas(
     int1e = jnp.pad(int1e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
     int2e = jnp.pad(int2e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
     he, we = int1e.shape[-2], int1e.shape[-1]
-    int1p = _pack_lanes(int1e, gt)
-    int2p = _pack_lanes(int2e, gt)
     wi = -(-(gt * we) // 128) * 128
-    int1p = jnp.pad(int1p, ((0, 0), (0, 0), (0, 0), (0, wi - gt * we)))
-    int2p = jnp.pad(int2p, ((0, 0), (0, 0), (0, 0), (0, wi - gt * we)))
+    int12p = jnp.concatenate([_pack_lanes(int1e, gt), _pack_lanes(int2e, gt)], axis=2)
+    int12p = jnp.pad(int12p, ((0, 0), (0, 0), (0, 0), (0, wi - gt * we)))
 
     gvalid = jnp.concatenate(
         [cache.valid_hw, jnp.full((g_pad - g, 2), 8, cache.valid_hw.dtype)]
@@ -266,8 +268,7 @@ def score_direct_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((g_pad, 2), lambda gg, cc: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, hb, gt * ws), lambda gg, cc: (cc, gg, 0, 0)),
-            pl.BlockSpec((1, 1, he, wi), lambda gg, cc: (cc, gg, 0, 0)),
-            pl.BlockSpec((1, 1, he, wi), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * he, wi), lambda gg, cc: (cc, gg, 0, 0)),
             pl.BlockSpec((1, n_pad, hk * wk), lambda gg, cc: (cc, 0, 0)),
         ],
         out_specs=pl.BlockSpec((g_pad, n_pad), lambda gg, cc: (0, 0)),
@@ -288,8 +289,7 @@ def score_direct_pallas(
         group_win,
         gvalid,
         p0p,
-        int1p,
-        int2p,
+        int12p,
         kern_flat,
     )
     return jnp.transpose(scores)[:n_total, :g]
