@@ -46,6 +46,8 @@ from ..ops.ncc_direct import (
     score_direct,
 )
 from ..ops.pallas.ncc_kernel import score_direct_pallas
+from ..parallel.mesh import build_mesh
+from ..parallel.sharded import make_sharded_direct_scorer, shard_cache
 from ..ops.preprocess import normalize_batch
 from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
 from ..utils.tracing import stage_timer
@@ -209,6 +211,19 @@ class Pipeline:
             compute_dtype=dtype,
         )
 
+        # multi-chip: shard the gallery cache over the mesh and score every
+        # variant stack against the local shard, all-gathering score rows
+        # over ICI (SURVEY.md section 2.4; tpu.mesh_shape, 0 = all devices)
+        mesh_size = self.config["tpu"]["mesh_shape"] or len(jax.devices())
+        mesh_size = min(mesh_size, len(jax.devices()))
+        sharded_scorer = None
+        if mesh_size > 1:
+            mesh = build_mesh(mesh_size)
+            sharded_cache, g_true = shard_cache(cache, mesh)
+            sharded_scorer = make_sharded_direct_scorer(
+                mesh, sharded_cache, true_channels=true_c, g_true=g_true
+            )
+
         fold = jax.vmap(fold_template, in_axes=(0, None, None))
 
         # Queries are scored PROBE_BATCH at a time: each probe contributes
@@ -249,7 +264,10 @@ class Pipeline:
                                 shw[p, si] - 2 * EDGE_CROP,
                             )
                         )
-            scores = scorer(cache_arg, groups, true_channels=true_c)
+            if sharded_scorer is None:
+                scores = scorer(cache_arg, groups, true_channels=true_c)
+            else:
+                scores = sharded_scorer(groups)
             g = scores.shape[1]
             return jnp.max(scores.reshape(pb, n_var, g), axis=1)  # (pb, G)
 

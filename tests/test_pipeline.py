@@ -183,3 +183,39 @@ def test_pipeline_gallery_cache_reuse(dataset, tmp_path):
     assert list((tmp_path / "gcache").glob("*.npz"))
     r2 = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
     assert r1 == r2
+
+
+def test_pipeline_sharded_matches_unsharded(dataset, tmp_path):
+    """mesh_shape > 1 on the virtual 8-device mesh reproduces single-device
+    rankings (gallery sharded, score rows all-gathered)."""
+    base = RUN_TOML.format(dir=str(dataset))
+    cfg1 = tmp_path / "one.toml"
+    cfg1.write_text(base + "mesh_shape = 1\n")
+    cfg8 = tmp_path / "eight.toml"
+    cfg8.write_text(base + "mesh_shape = 8\n")
+    r1 = [o.ranks.tolist() for o in Pipeline(load_config(cfg1), weights_dir=None, verbose=False).run()]
+    r8 = [o.ranks.tolist() for o in Pipeline(load_config(cfg8), weights_dir=None, verbose=False).run()]
+    assert r1 == r8
+
+
+def test_cli_output_format(dataset, tmp_path, capsys, monkeypatch):
+    """run.py's stdout mirrors the reference driver's shape: dataset summary,
+    cluster lines, per-query rank lines, S-score line (reference run.py:15-34,
+    parse_results.py:35)."""
+    import re
+    import runpy
+    import sys
+
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        RUN_TOML.format(dir=str(dataset)).replace("[9, 180]", '""').replace("[1.04]", '""')
+    )
+    monkeypatch.setattr(sys, "argv", ["run.py", str(cfg_path)])
+    monkeypatch.chdir(tmp_path)
+    runpy.run_path(str((__import__("pathlib").Path(__file__).parents[1] / "run.py")), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "The dataset contains:" in out
+    assert re.search(r"\d+ clusters of image sizes found\.", out)
+    assert re.search(r"Cluster has \d+ items\.", out)
+    assert re.search(r"Print \d+ true match ranked \d+", out)
+    assert re.search(r"S1:\d+\.\d{2} S5:\d+\.\d{2} S10:\d+\.\d{2} S15:\d+\.\d{2} S20:\d+\.\d{2}", out)
