@@ -66,13 +66,13 @@ def _kernel_body(
     counts: tuple[int, ...],
     gt: int,
     hb: int,
+    hb_pad: int,
     wb: int,
     hk: int,
     wk: int,
     we: int,
     top: int,
     true_channels: int,
-    u_blk: int,
     compute_dtype,
     # refs
     gw_ref,      # SMEM (n_groups, 2) int32 window sizes
@@ -82,8 +82,7 @@ def _kernel_body(
     kern_ref,    # VMEM (1, n_pad, hk*wk)
     out_ref,     # VMEM (G_pad, n_pad) — full scores block
     acc_ref,     # scratch VMEM (n_pad, hb, gt*wb)
-    rolls_ref,   # scratch VMEM (wk, hp, gt*ws)
-    pt_ref,      # scratch VMEM (u_blk*wk, hb, gt*wb)
+    rolls_ref,   # scratch VMEM (wk, hp, gt*wb) compacted
     corr_ref,    # scratch VMEM (n_pad, hb, gt*wb)
 ):
     gg = pl.program_id(0)
@@ -96,7 +95,9 @@ def _kernel_body(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # --- patch build (VMEM; rolls stay f32: Mosaic rotate is 32-bit only) --
-    padded = jnp.pad(p0_ref[0, 0], ((hk // 2, hk - 1 - hk // 2), (0, 0)))
+    padded = jnp.pad(
+        p0_ref[0, 0], ((hk // 2, hk - 1 - hk // 2 + (hb_pad - hb) + 7), (0, 0))
+    )
     wp = gt * ws
     for v in range(wk):
         # rolled[., x] = padded[., x + v]; windows stay inside each print's
@@ -108,25 +109,32 @@ def _kernel_body(
             [rolled[:, p * ws : p * ws + wb] for p in range(gt)], axis=1
         )
 
-    # --- MXU dots, tap-row-blocked to fit the patch scratch in VMEM --------
-    kern = kern_ref[0]  # (n_pad, T)
-    n_blocks = -(-hk // u_blk)
-    for ub in range(n_blocks):
-        u0 = ub * u_blk
-        rows = min(u_blk, hk - u0)
-        for u in range(rows):
-            pt_ref[u * wk : (u + 1) * wk] = rolls_ref[
-                :, u0 + u : u0 + u + hb, :
-            ].astype(pt_ref.dtype)
-        kblk = kern[:, u0 * wk : (u0 + rows) * wk]
-        for y in range(hb):
-            partial = jnp.dot(
-                kblk, pt_ref[: rows * wk, y, :], preferred_element_type=jnp.float32
+    # --- MXU dots straight off the rolls stack ------------------------------
+    # The im2col patch matrix for output row y is exactly
+    # rolls[:, y : y + hk, :] collapsed over its leading two dims (a
+    # layout-preserving reshape: lanes untouched) — so the dot streams the
+    # rolls scratch directly and no patch matrix is ever materialized.
+    # Kernels are pre-laid out host-side as (v, u)-major to match.
+    kern = kern_ref[0]  # (n_pad, wk*hk), (v, u)-major taps
+    lanes = rolls_ref.shape[-1]
+
+    def y_block(yb, _):
+        # one aligned rolls load per 8 output rows keeps VMEM temps bounded
+        # (a fully unrolled per-y loop makes Mosaic hold 40+ live slices)
+        y0 = pl.multiple_of(yb * 8, 8)
+        blk = rolls_ref[:, pl.ds(y0, hk + 7), :]  # (wk, hk+7, lanes)
+        parts = []
+        for dy in range(8):
+            rhs = blk[:, dy : dy + hk, :].reshape(wk * hk, lanes)
+            if compute_dtype != jnp.float32:
+                rhs = rhs.astype(compute_dtype)
+            parts.append(
+                jnp.dot(kern, rhs, preferred_element_type=jnp.float32)
             )
-            if ub == 0:
-                corr_ref[:, y, :] = partial
-            else:
-                corr_ref[:, y, :] += partial
+        corr_ref[:, pl.ds(y0, 8), :] = jnp.stack(parts, axis=1)
+        return _
+
+    jax.lax.fori_loop(0, hb_pad // 8, y_block, None)
 
     # --- per-group energy epilogue -----------------------------------------
     wi = int12_ref.shape[-1]  # 128-aligned packed integral width
@@ -150,19 +158,19 @@ def _kernel_body(
         lo_rows = pltpu.roll(full, he2 - lo_h, axis=0)
         rowdiff = jnp.concatenate(
             [
-                hi_rows[:hb] - lo_rows[:hb],            # int1 rows
-                hi_rows[he : he + hb] - lo_rows[he : he + hb],  # int2 rows
+                hi_rows[:hb_pad] - lo_rows[:hb_pad],    # int1 rows
+                hi_rows[he : he + hb_pad] - lo_rows[he : he + hb_pad],  # int2
             ],
             axis=0,
-        )  # (2hb, wi)
+        )  # (2*hb_pad, wi)
         hi = pltpu.roll(rowdiff, wi - hi_w, axis=1)
         lo = pltpu.roll(rowdiff, wi - lo_w, axis=1)
         d = hi - lo
         compact = jnp.concatenate(
             [d[:, p * we : p * we + wb] for p in range(gt)], axis=1
-        )  # (2hb, gt*wb)
-        b1 = compact[:hb]
-        b2 = compact[hb:]
+        )  # (2*hb_pad, gt*wb)
+        b1 = compact[:hb_pad]
+        b2 = compact[hb_pad:]
         n_win = (h * w).astype(jnp.float32)
         energy = jnp.maximum(b2 - b1 * b1 / n_win, 0.0)
         inv_e = jnp.where(energy > 0, jax.lax.rsqrt(energy), 0.0)
@@ -172,8 +180,8 @@ def _kernel_body(
     # --- final per-print masked max at the last channel --------------------
     @pl.when(c == n_c - 1)
     def _finish():
-        rows = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hb_pad, wb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hb_pad, wb), 1)
         for p in range(gt):
             gidx = gg * gt + p
             ok = (rows < gvalid_ref[gidx, 0]) & (cols < gvalid_ref[gidx, 1])
@@ -207,14 +215,16 @@ def score_direct_pallas(
 
     gt = prints_per_step or max(1, min(4, 128 // wb))
     g_pad = -(-g // gt) * gt
+    hb_pad = -(-hb // 8) * 8  # output rows processed in aligned 8-row blocks
 
     kernels = jnp.concatenate([grp.kernels for grp in groups])  # (N, C, hk, wk)
     if kernels.shape[1] != c_pad:
         kernels = jnp.pad(kernels, ((0, 0), (0, c_pad - kernels.shape[1]), (0, 0), (0, 0)))
     if n_pad != n_total:
         kernels = jnp.pad(kernels, ((0, n_pad - n_total), (0, 0), (0, 0), (0, 0)))
-    kern_flat = jnp.transpose(kernels, (1, 0, 2, 3)).reshape(
-        c_pad, n_pad, hk * wk
+    # (v, u)-major tap order matches the rolls-slice patch layout
+    kern_flat = jnp.transpose(kernels, (1, 0, 3, 2)).reshape(
+        c_pad, n_pad, wk * hk
     ).astype(compute_dtype)
 
     def pad_g(a):
@@ -228,8 +238,9 @@ def score_direct_pallas(
     # packed, edge-extended integral images; total width 128-aligned for the
     # dynamic lane-rolls (padding is never read: hi_w + wb <= we)
     top = hk // 2 + 1
-    int1e = _extend_integral(pad_g(cache.int1), top, top + 1)
-    int2e = _extend_integral(pad_g(cache.int2), top, top + 1)
+    bot = top + 1 + (hb_pad - hb)
+    int1e = _extend_integral(pad_g(cache.int1), top, bot)
+    int2e = _extend_integral(pad_g(cache.int2), top, bot)
     # height 8-aligned for the dynamic sublane rolls (padding is never read)
     he_pad = -(-int1e.shape[-2] // 8) * 8 - int1e.shape[-2]
     int1e = jnp.pad(int1e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
@@ -245,18 +256,9 @@ def score_direct_pallas(
 
     group_win = jnp.stack([jnp.asarray(grp.window_hw) for grp in groups]).astype(jnp.int32)
 
-    # tap-row block size: keep the patch scratch within the VMEM budget
-    lane_tiles = -(-(gt * wb) // 128) * 128
-    tile_bytes = (-(-hb // 8) * 8) * lane_tiles * 4
-    fixed = (2 * n_pad) * tile_bytes + wk * (-(-(hb + hk - 1) // 8) * 8) * (
-        -(-(gt * wb) // 128) * 128
-    ) * 4
-    budget = int(9.6 * 1024 * 1024) - fixed
-    u_blk = max(1, min(hk, budget // max(1, wk * tile_bytes)))
-
     body = functools.partial(
-        _kernel_body, counts, gt, hb, wb, hk, wk, we, top, true_channels,
-        u_blk, compute_dtype,
+        _kernel_body, counts, gt, hb, hb_pad, wb, hk, wk, we, top,
+        true_channels, compute_dtype,
     )
 
     n_gg = g_pad // gt
@@ -273,10 +275,9 @@ def score_direct_pallas(
         ],
         out_specs=pl.BlockSpec((g_pad, n_pad), lambda gg, cc: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((n_pad, hb, gt * wb), jnp.float32),
-            pltpu.VMEM((wk, hb + hk - 1, gt * wb), jnp.float32),
-            pltpu.VMEM((min(u_blk, hk) * wk, hb, gt * wb), compute_dtype),
-            pltpu.VMEM((n_pad, hb, gt * wb), jnp.float32),
+            pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
+            pltpu.VMEM((wk, hb_pad + hk - 1 + 7, gt * wb), jnp.float32),
+            pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
         ],
     )
 
