@@ -70,6 +70,9 @@ class TpuConfig(TypedDict, total=True):
         ncc_backend: ``"auto"`` (fused Pallas kernel on TPU, XLA direct conv
             path on CPU), ``"pallas"``, ``"direct"``, or ``"fft"`` (the
             batched-FFT path, ops/ncc.py — useful on CPU-class hosts).
+        profile_dir: when set, each cluster run is captured as a
+            ``jax.profiler`` trace under this directory (the reference has
+            no profiling at all — SURVEY.md section 5).
     """
 
     mesh_shape: int
@@ -78,6 +81,7 @@ class TpuConfig(TypedDict, total=True):
     variant_mode: str
     extraction_batch: int
     ncc_backend: str
+    profile_dir: str
 
 
 class Config(TypedDict, total=True):
@@ -96,6 +100,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "variant_mode": "reference",
     "extraction_batch": 8,
     "ncc_backend": "auto",
+    "profile_dir": "",
 }
 
 

@@ -50,7 +50,7 @@ from ..parallel.mesh import build_mesh
 from ..parallel.sharded import make_sharded_direct_scorer, shard_cache
 from ..ops.preprocess import normalize_batch
 from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
-from ..utils.tracing import stage_timer
+from ..utils.tracing import profile_trace, stage_timer
 from .gallery import GalleryFeatureCache
 
 
@@ -347,4 +347,5 @@ class Pipeline:
         for plan in self.plans:
             if self.verbose:
                 print(f"Cluster has {len(plan.files)} items.")
-            yield self.run_cluster(plan)
+            with profile_trace(self.config["tpu"].get("profile_dir") or None):
+                yield self.run_cluster(plan)

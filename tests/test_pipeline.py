@@ -219,3 +219,16 @@ def test_cli_output_format(dataset, tmp_path, capsys, monkeypatch):
     assert re.search(r"Cluster has \d+ items\.", out)
     assert re.search(r"Print \d+ true match ranked \d+", out)
     assert re.search(r"S1:\d+\.\d{2} S5:\d+\.\d{2} S10:\d+\.\d{2} S15:\d+\.\d{2} S20:\d+\.\d{2}", out)
+
+
+def test_profile_trace_capture(dataset, tmp_path):
+    """tpu.profile_dir captures a jax.profiler trace per cluster (SURVEY.md
+    section 5: the reference has no tracing at all)."""
+    cfg_path = tmp_path / "run.toml"
+    prof = tmp_path / "trace"
+    text = RUN_TOML.format(dir=str(dataset)).replace("[9, 180]", '""').replace(
+        "[1.04]", '""'
+    ).replace("extraction_batch = 4", f'extraction_batch = 4\nprofile_dir = "{prof}"')
+    cfg_path.write_text(text)
+    list(Pipeline(load_config(cfg_path), weights_dir=None, verbose=False).run())
+    assert any(prof.rglob("*.trace*")) or any(prof.rglob("*.pb")) or any(prof.iterdir())
