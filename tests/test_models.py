@@ -186,3 +186,15 @@ def test_stride_and_output_sizes():
     y, valid = m.apply(params, x, jnp.asarray([[64, 96]], jnp.int32))
     assert y.shape[1] == 176
     assert valid[0].tolist() == [4, 6]  # 64/16, 96/16
+
+
+def test_summary_helpers():
+    """output_size / describe (the reference's printmodel & get_output_size,
+    network.py:16-48, without its CUDA dependence)."""
+    from shoeprint_image_retrieval_tpu.models.summary import describe, output_size
+
+    m = efficientnet_v2("M").truncate(6)
+    c, h, w = output_size(m, (64, 96))
+    assert (c, h, w) == (176, 4, 6)  # stride 16, 176 channels
+    text = describe(m)
+    assert "ConvBNAct" in text and "Stage" in text and text.count("\n") == 6
