@@ -5,15 +5,18 @@ BASELINE.json north star: rank probes against the full WVU2019-scale gallery
 with a precomputed HBM gallery feature cache at >= 100 probes/sec (v5e-8);
 this machine exposes ONE v5e chip, so the printed number is single-chip
 (gallery sharding scales it across a real mesh — tests/test_sharded.py).
+NOTE the chip's measured ceiling: ~45 TFLOP/s at ANY precision
+(benchmarks/mxu_probe.py) -> ~7 probes/s absolute f32 dot-bound at this
+workload's ~6.2 TFLOP/probe.
 
 Workload (reference-shaped, synthetic): G gallery prints with
 EfficientNetV2_M-block-6-like feature maps (176 channels, stride-16 sizes
 from ~700px scans), Q probes, and the reference's shipped transform sweep —
 rotations [-15,-9,-3,3,9,15,180] x scales [1.02,1.04,1.08] in the
 reference's variant composition, 25 variants/probe (run.toml:24-25,
-similarity.py:321-353). Per probe: device-built variant stack (PIL-exact
-rotation gathers + bicubic resize matmuls) -> direct MXU-conv NCC against
-every print (ops/ncc_direct.py) -> max over shifts/variants.
+similarity.py:321-353). Probes are scored PB at a time (class-major packed
+variant stack, ~PB*25 MXU output rows) through the fused Pallas NCC kernel
+with host-deduped window-size slots.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -40,7 +43,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
-        VariantGroup,
+        PackedVariants,
+        VariantLayout,
         build_direct_cache,
         fold_template,
     )
@@ -54,14 +58,15 @@ def main() -> None:
     )
 
     if QUICK:
-        G, C, Q = 24, 16, 2
+        G, C, Q = 24, 16, 4
         g_lo, g_hi, q_lo, q_hi = 18, 24, 14, 18
+        PB_DEFAULT = 2
     else:
-        G, C, Q = 300, 176, 10
+        G, C, Q = 300, 176, int(os.environ.get("BENCH_Q", "20"))
         g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
+        PB_DEFAULT = 20
     rotations = [-15, -9, -3, 3, 9, 15, 180]
     scales = [1.02, 1.04, 1.08]
-    channel_block = 16
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
@@ -88,7 +93,6 @@ def main() -> None:
     log(f"gallery cache: G={G} C={C} kernel={kernel_hw} built in "
         f"{time.perf_counter() - t0:.2f}s "
         f"({sum(a.nbytes for a in cache) / 1e9:.2f} GB HBM)")
-    c_pad = cache.p0.shape[0]
 
     # --- per-probe variant plans (host, PIL-exact) -----------------------
     n_rot = len(rotations)
@@ -114,42 +118,78 @@ def main() -> None:
             shw[si] = (oh, ow)
         probes.append((maps, np.asarray([h, w], np.int32), ridx, rok, wv, wh, shw))
 
-    # --- jitted probe-batch step: variants + direct-conv NCC + max -------
-    # Probes are scored PB at a time so the conv's output-channel axis holds
-    # PB x 25 = ~125 variants — filling the MXU's 128 output lanes.
+    # --- jitted probe-batch step: class-major packed variants + NCC ------
+    # PB probes/batch -> PB x 25 MXU output rows: the kernel's fixed
+    # per-step work (patch rolls, energy epilogue) amortizes over PB probes.
+    PB = int(os.environ.get("BENCH_PB", str(PB_DEFAULT))); PB = min(PB, Q)
+    b0 = 1
+    class_counts = tuple([b0] + [1 + n_rot] * n_scl)
+    n_var = sum(class_counts)
+    layout = VariantLayout(class_counts, PB)
+    fold = jax.vmap(fold_template, in_axes=(0, None, None))
+    fold_rs = jax.vmap(fold, in_axes=(0, 0, None))
+
+    # host-deduped energy slots: distinct window sizes across the batch
+    starts = list(range(0, Q, PB))
+    batch_slots = {}
+    n_slots = 1
+    for lo in starts:
+        take = list(range(lo, min(lo + PB, Q)))
+        take += [take[-1]] * (PB - len(take))
+        wins = [np.stack([q_sizes[i] - 4 for i in take])]
+        for si in range(n_scl):
+            wins.append(np.stack([probes[i][6][si] - 4 for i in take]))
+        wins = np.concatenate(wins).astype(np.int32)
+        uniq, inv = np.unique(wins, axis=0, return_inverse=True)
+        batch_slots[lo] = (wins, uniq, inv.astype(np.int32))
+        n_slots = max(n_slots, len(uniq))
+    log(f"PB={PB} n_var={n_var} N={PB * n_var} energy slots <= {n_slots} "
+        f"(vs {PB * (1 + n_scl)} groups)")
+
     # NOTE: the cache must be a jit *argument*, not a closure capture — jit
     # constant-folds closures by pulling them to host, and large device->host
     # transfers hang over the axon tunnel.
-    PB = int(os.environ.get("BENCH_PB", "5")); PB = min(PB, Q)
-    n_var = 1 + (1 + n_rot) * n_scl
-    fold = jax.vmap(fold_template, in_axes=(0, None, None))
-
     @jax.jit
-    def score_batch_jit(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
-        groups = []
-        for p in range(PB):
-            flat = maps[p].reshape(C, hc * wc)
-            rot = jnp.take(flat, ridx[p], axis=1)
+    def score_batch_jit(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
+                        windows, slot_hw, slot_map):
+        def one(maps_p, valid_p, ridx_p, rok_p, wv_p, wh_p, shw_p):
+            flat = maps_p.reshape(C, hc * wc)
+            rot = jnp.take(flat, ridx_p, axis=1)
             rot = jnp.moveaxis(rot, 0, 1).reshape(-1, C, hc, wc)
-            rot = jnp.where(rok[p][:, None], rot, 0.0)
-            groups.append(VariantGroup(fold(rot[:1], valid[p], kernel_hw), valid[p] - 4))
+            rot = jnp.where(rok_p[:, None], rot, 0.0)
+            base_k = fold(rot[:1], valid_p, kernel_hw)
             scaled = jnp.einsum(
-                "soh,rchw,spw->rscop", wvq[p], rot, whq[p], precision="highest"
+                "soh,rchw,spw->srcop", wv_p, rot, wh_p, precision="highest"
             )
-            for si in range(n_scl):
-                groups.append(
-                    VariantGroup(fold(scaled[:, si], shw[p, si], kernel_hw), shw[p, si] - 4)
-                )
+            return base_k, fold_rs(scaled, shw_p, kernel_hw)
+
+        base_k, scaled_k = jax.vmap(one)(maps, valid, ridx, rok, wvq, whq, shw)
+        ck = base_k.shape[-3:]
+        kerns = [base_k.reshape(PB * b0, *ck)]
+        for si in range(n_scl):
+            kerns.append(scaled_k[:, si].reshape(PB * (1 + n_rot), *ck))
+        packed = PackedVariants(jnp.concatenate(kerns), windows)
         scores = score_direct_pallas(
-            cache_arg, groups, true_channels=C,
+            cache_arg, packed, true_channels=C, layout=layout,
+            slot_hw=slot_hw, slot_map=slot_map,
             compute_dtype=jnp.bfloat16 if BF16 else jnp.float32,
         )
-        return jnp.max(scores.reshape(PB, n_var, G), axis=1)  # (PB, G)
+        parts, off = [], 0
+        for cnt in class_counts:
+            parts.append(scores[off : off + PB * cnt].reshape(PB, cnt, -1))
+            off += PB * cnt
+        return jnp.max(jnp.concatenate(parts, axis=1), axis=1)  # (PB, G)
 
-    def stack_args(batch):
-        return tuple(jnp.asarray(np.stack(col)) for col in zip(*batch))
+    def stack_args(lo):
+        take = list(range(lo, min(lo + PB, Q)))
+        take += [take[-1]] * (PB - len(take))
+        cols = [jnp.asarray(np.stack([probes[i][j] for i in take])) for j in range(7)]
+        wins, uniq, smap = batch_slots[lo]
+        slot_hw = np.full((n_slots, 2), 8, np.int32)
+        slot_hw[: len(uniq)] = uniq
+        return (*cols, jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap))
 
-    batches = [stack_args(probes[i : i + PB]) for i in range(0, Q, PB)]
+    batches = [stack_args(lo) for lo in starts]
     t0 = time.perf_counter()
     np.asarray(score_batch_jit(cache, *batches[0]))  # host pull: block_until_
     log(f"compile+warmup: {time.perf_counter() - t0:.2f}s")  # ready can return

@@ -73,6 +73,13 @@ class TpuConfig(TypedDict, total=True):
         profile_dir: when set, each cluster run is captured as a
             ``jax.profiler`` trace under this directory (the reference has
             no profiling at all — SURVEY.md section 5).
+        probe_batch: probes scored per jitted scoring call; 0 = auto (size
+            the batch so the variant stack fills the scoring kernel's MXU
+            output axis with ~512 rows).
+        gallery_block: gallery prints per scoring pass; 0 = all at once.
+            Blocks bound device memory for huge galleries (the 10k-print
+            WVU-scale config): the direct cache is built and scored one
+            block at a time, scores concatenated on host.
     """
 
     mesh_shape: int
@@ -82,6 +89,8 @@ class TpuConfig(TypedDict, total=True):
     extraction_batch: int
     ncc_backend: str
     profile_dir: str
+    probe_batch: int
+    gallery_block: int
 
 
 class Config(TypedDict, total=True):
@@ -101,6 +110,8 @@ _TPU_DEFAULTS: TpuConfig = {
     "extraction_batch": 8,
     "ncc_backend": "auto",
     "profile_dir": "",
+    "probe_batch": 0,
+    "gallery_block": 0,
 }
 
 

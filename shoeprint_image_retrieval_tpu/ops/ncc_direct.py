@@ -40,6 +40,7 @@ conventions (non-finite -> 0, similarity.py:65-71) are reproduced via
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import NamedTuple, Sequence
 
 import jax
@@ -139,13 +140,66 @@ class VariantGroup(NamedTuple):
     window_hw: jnp.ndarray  # (2,) traced post-crop window size
 
 
+class PackedVariants(NamedTuple):
+    """Class-major packed variant stack for a whole probe batch.
+
+    The probe batch is laid out *class-major*: for each variant class
+    (the unscaled originals, then one class per scale) all ``pb`` probes'
+    variants are contiguous, probe-major within the class.  Row
+    ``offset(ci) + p * count(ci) + k`` is probe ``p``'s ``k``-th variant of
+    class ``ci``.  This regular layout lets the Pallas kernel loop over
+    probes with ``fori_loop`` + dynamic leading-axis slices instead of a
+    Python-unrolled per-group epilogue (the round-1 compile-time cliff).
+
+    Attributes:
+        kernels: (N, C, hk, wk) folded, centered templates,
+            N = pb * sum(class_counts).
+        window_hw: (n_groups, 2) int32 post-crop window sizes; group
+            ``ci * pb + p`` is (class ci, probe p).
+    """
+
+    kernels: jnp.ndarray
+    window_hw: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class VariantLayout:
+    """Static shape info for a :class:`PackedVariants` stack (hashable, so
+    it can ride through ``jax.jit`` as a static argument)."""
+
+    class_counts: tuple[int, ...]  # variants per probe, per class
+    pb: int                        # probes in the batch
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.class_counts) * self.pb
+
+    @property
+    def n_variants(self) -> int:
+        return self.pb * sum(self.class_counts)
+
+    def class_offset(self, ci: int) -> int:
+        return self.pb * sum(self.class_counts[:ci])
+
+
+def pack_variant_groups(
+    groups: Sequence[VariantGroup],
+) -> tuple[PackedVariants, VariantLayout]:
+    """Adapt the per-group list API (pb=1: every group is its own class)."""
+    kernels = jnp.concatenate([g.kernels for g in groups])
+    window_hw = jnp.stack([jnp.asarray(g.window_hw) for g in groups]).astype(jnp.int32)
+    layout = VariantLayout(tuple(int(g.kernels.shape[0]) for g in groups), 1)
+    return PackedVariants(kernels, window_hw), layout
+
+
 def score_direct(
     cache: DirectGalleryCache,
-    groups: Sequence[VariantGroup],
+    groups: Sequence[VariantGroup] | PackedVariants,
     *,
     true_channels: int,
     channel_block: int = 8,
     compute_dtype=jnp.float32,
+    layout: VariantLayout | None = None,
 ) -> jnp.ndarray:
     """Score every variant in every group against every print.
 
@@ -161,13 +215,19 @@ def score_direct(
     doubles MXU rate at a ~1e-3 relative score error (accumulation stays
     f32); the default keeps the reference's f32 semantics.
     """
+    if layout is None:
+        packed, layout = pack_variant_groups(groups)
+    else:
+        packed = groups  # already a PackedVariants stack
+
     c_pad, g, hb, wb = cache.p0.shape
     # largest divisor of the padded channel count not exceeding the request
     channel_block = max(d for d in range(1, channel_block + 1) if c_pad % d == 0)
-    hk, wk = groups[0].kernels.shape[-2:]
-    counts = [int(grp.kernels.shape[0]) for grp in groups]
+    hk, wk = packed.kernels.shape[-2:]
+    # class-major group order: ci outer, probe inner (rows are contiguous)
+    counts = [cnt for cnt in layout.class_counts for _ in range(layout.pb)]
     n_total = sum(counts)
-    kernels = jnp.concatenate([grp.kernels for grp in groups])  # (N, C, hk, wk)
+    kernels = packed.kernels  # (N, C, hk, wk)
     if kernels.shape[1] != c_pad:
         kernels = jnp.pad(kernels, ((0, 0), (0, c_pad - kernels.shape[1]), (0, 0), (0, 0)))
     kernels = jnp.transpose(kernels, (1, 0, 2, 3))  # (C, N, hk, wk)
@@ -175,7 +235,9 @@ def score_direct(
     # group window sizes (traced scalars; energies are computed per channel
     # inside the scan so no (C, G, Hb, Wb) energy tensor is ever materialized
     # — at 176 channels x 20 groups that would be ~7 GB of HBM)
-    group_hw = tuple((grp.window_hw[0], grp.window_hw[1]) for grp in groups)
+    group_hw = tuple(
+        (packed.window_hw[i, 0], packed.window_hw[i, 1]) for i in range(layout.n_groups)
+    )
 
     # --- tap-packed correlation ------------------------------------------
     # A naive conv with C_in=1 makes XLA:TPU do rank-1 MXU updates (measured

@@ -44,7 +44,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ncc_direct import DirectGalleryCache, VariantGroup
+from ..ncc_direct import (
+    DirectGalleryCache,
+    PackedVariants,
+    VariantGroup,
+    VariantLayout,
+    pack_variant_groups,
+)
 
 
 def _extend_integral(integral: jnp.ndarray, top: int, bot: int) -> jnp.ndarray:
@@ -63,7 +69,8 @@ def _pack_lanes(x: jnp.ndarray, gt: int) -> jnp.ndarray:
 
 
 def _kernel_body(
-    counts: tuple[int, ...],
+    class_counts: tuple[int, ...],
+    pb: int,
     gt: int,
     hb: int,
     hb_pad: int,
@@ -75,7 +82,8 @@ def _kernel_body(
     true_channels: int,
     compute_dtype,
     # refs
-    gw_ref,      # SMEM (n_groups, 2) int32 window sizes
+    slot_hw_ref,  # SMEM (n_slots, 2) int32 distinct window sizes
+    smap_ref,     # SMEM (n_groups,) int32 group -> slot index
     gvalid_ref,  # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
     p0_ref,      # VMEM (1, 1, hb, gt*ws) packed prints
     int12_ref,   # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
@@ -84,6 +92,7 @@ def _kernel_body(
     acc_ref,     # scratch VMEM (n_pad, hb, gt*wb)
     rolls_ref,   # scratch VMEM (wk, hp, gt*wb) compacted
     corr_ref,    # scratch VMEM (n_pad, hb, gt*wb)
+    slots_ref,   # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
 ):
     gg = pl.program_id(0)
     c = pl.program_id(1)
@@ -123,11 +132,11 @@ def _kernel_body(
         # (a fully unrolled per-y loop makes Mosaic hold 40+ live slices)
         y0 = pl.multiple_of(yb * 8, 8)
         blk = rolls_ref[:, pl.ds(y0, hk + 7), :]  # (wk, hk+7, lanes)
+        if compute_dtype != jnp.float32:
+            blk = blk.astype(compute_dtype)  # one cast per 8 rows, not per row
         parts = []
         for dy in range(8):
             rhs = blk[:, dy : dy + hk, :].reshape(wk * hk, lanes)
-            if compute_dtype != jnp.float32:
-                rhs = rhs.astype(compute_dtype)
             parts.append(
                 jnp.dot(kern, rhs, preferred_element_type=jnp.float32)
             )
@@ -136,22 +145,28 @@ def _kernel_body(
 
     jax.lax.fori_loop(0, hb_pad // 8, y_block, None)
 
-    # --- per-group energy epilogue -----------------------------------------
+    # --- energy epilogue, deduped per distinct window size ------------------
+    # 1/sqrt(local energy) depends only on the window (h, w), not on which
+    # group/variant uses it — real probe batches repeat sizes heavily (all
+    # rotations of a probe, equal-sized probes, equal scaled sizes), so the
+    # box-sum work runs once per SLOT (distinct size) and the per-group pass
+    # is a cheap multiply-accumulate via a slot lookup.
     wi = int12_ref.shape[-1]  # 128-aligned packed integral width
     he2 = int12_ref.shape[-2]  # 2*he: int1 stacked over int2
     he = he2 // 2
-    start = 0
-    for gi, cnt in enumerate(counts):
-        h = gw_ref[gi, 0]
-        w = gw_ref[gi, 1]
+    n_slots = slots_ref.shape[0]
+
+    def slot_energy(si, _):
+        h = slot_hw_ref[si, 0]
+        w = slot_hw_ref[si, 1]
         lo_h = top - h // 2
         hi_h = top + (h - 1) // 2 + 1
         lo_w = top - w // 2
         hi_w = top + (w - 1) // 2 + 1
 
         # dynamic offsets become dynamic rolls (Mosaic forbids unaligned
-        # dynamic slice starts). int1 and int2 are stacked on sublanes so one
-        # pair of sublane rolls serves both box sums: rolled[y] reads
+        # dynamic slice starts). int1 and int2 are stacked on sublanes so
+        # one pair of sublane rolls serves both box sums: rolled[y] reads
         # full[y + off] within each half because off + hb < he.
         full = int12_ref[0, 0]  # (2he, wi)
         hi_rows = pltpu.roll(full, he2 - hi_h, axis=0)
@@ -167,15 +182,38 @@ def _kernel_body(
         lo = pltpu.roll(rowdiff, wi - lo_w, axis=1)
         d = hi - lo
         compact = jnp.concatenate(
-            [d[:, p * we : p * we + wb] for p in range(gt)], axis=1
+            [d[:, q * we : q * we + wb] for q in range(gt)], axis=1
         )  # (2*hb_pad, gt*wb)
         b1 = compact[:hb_pad]
         b2 = compact[hb_pad:]
         n_win = (h * w).astype(jnp.float32)
         energy = jnp.maximum(b2 - b1 * b1 / n_win, 0.0)
-        inv_e = jnp.where(energy > 0, jax.lax.rsqrt(energy), 0.0)
-        acc_ref[start : start + cnt] += corr_ref[start : start + cnt] * inv_e[None]
-        start += cnt
+        slots_ref[pl.ds(si, 1)] = jnp.where(
+            energy > 0, jax.lax.rsqrt(energy), 0.0
+        )[None]
+        return _
+
+    jax.lax.fori_loop(0, n_slots, slot_energy, None)
+
+    # --- per-group scaled accumulation (class-major: fori over probes) ------
+    # The loop body is compiled ONCE per class regardless of the probe batch
+    # size (the round-1 Python-unrolled per-group epilogue made Mosaic
+    # compile time scale with the group count and overflowed scoped VMEM).
+    start = 0
+    for ci, cnt in enumerate(class_counts):
+
+        def probe_mac(p, _, cls_start=start, cnt=cnt, ci=ci):
+            gi = ci * pb + p
+            inv_e = slots_ref[smap_ref[gi]]  # dynamic leading-axis read
+            row0 = cls_start + p * cnt       # dynamic leading-axis slice
+            acc_ref[pl.ds(row0, cnt)] = (
+                acc_ref[pl.ds(row0, cnt)]
+                + corr_ref[pl.ds(row0, cnt)] * inv_e[None]
+            )
+            return _
+
+        jax.lax.fori_loop(0, pb, probe_mac, None)
+        start += pb * cnt
 
     # --- final per-print masked max at the last channel --------------------
     @pl.when(c == n_c - 1)
@@ -194,30 +232,47 @@ def _kernel_body(
 
 def score_direct_pallas(
     cache: DirectGalleryCache,
-    groups: Sequence[VariantGroup],
+    groups: Sequence[VariantGroup] | PackedVariants,
     *,
     true_channels: int,
     compute_dtype=jnp.float32,
     prints_per_step: int | None = None,
     interpret: bool = False,
+    layout: VariantLayout | None = None,
+    slot_hw: jnp.ndarray | None = None,
+    slot_map: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Drop-in fused-kernel equivalent of :func:`..ncc_direct.score_direct`.
 
+    ``slot_hw`` (n_slots, 2) / ``slot_map`` (n_groups,) dedupe the energy
+    epilogue: groups with equal window sizes share one box-sum pass (the
+    host knows every window size, so it can pass the distinct set). When
+    omitted every group gets its own slot.
+
     ``compute_dtype=jnp.bfloat16`` runs the correlation MXU dots in bf16
-    (f32 accumulation; measured slower than f32 at reference shapes — kept
-    as an experiment). Returns (N_total, G) float32 scores.
+    (f32 accumulation; measured NO faster than f32 on this chip — the
+    tunneled v5e delivers ~45 TFLOP/s at either precision, see
+    benchmarks/mxu_probe.py). Returns (N_total, G) float32 scores.
     """
+    if layout is None:
+        packed, layout = pack_variant_groups(groups)
+    else:
+        packed = groups  # already a PackedVariants stack
+
+    if slot_hw is None:
+        slot_hw = packed.window_hw  # identity: one slot per group
+        slot_map = jnp.arange(layout.n_groups, dtype=jnp.int32)
+
     c_pad, g, hb, wb = cache.p0.shape
-    hk, wk = groups[0].kernels.shape[-2:]
-    counts = tuple(int(grp.kernels.shape[0]) for grp in groups)
-    n_total = sum(counts)
+    hk, wk = packed.kernels.shape[-2:]
+    n_total = layout.n_variants
     n_pad = -(-n_total // 8) * 8
 
     gt = prints_per_step or max(1, min(4, 128 // wb))
     g_pad = -(-g // gt) * gt
     hb_pad = -(-hb // 8) * 8  # output rows processed in aligned 8-row blocks
 
-    kernels = jnp.concatenate([grp.kernels for grp in groups])  # (N, C, hk, wk)
+    kernels = packed.kernels  # (N, C, hk, wk)
     if kernels.shape[1] != c_pad:
         kernels = jnp.pad(kernels, ((0, 0), (0, c_pad - kernels.shape[1]), (0, 0), (0, 0)))
     if n_pad != n_total:
@@ -254,11 +309,13 @@ def score_direct_pallas(
         [cache.valid_hw, jnp.full((g_pad - g, 2), 8, cache.valid_hw.dtype)]
     ).astype(jnp.int32)
 
-    group_win = jnp.stack([jnp.asarray(grp.window_hw) for grp in groups]).astype(jnp.int32)
+    slot_hw = slot_hw.astype(jnp.int32)   # (n_slots, 2)
+    slot_map = slot_map.astype(jnp.int32)  # (n_groups,)
+    n_slots = int(slot_hw.shape[0])
 
     body = functools.partial(
-        _kernel_body, counts, gt, hb, hb_pad, wb, hk, wk, we, top,
-        true_channels, compute_dtype,
+        _kernel_body, layout.class_counts, layout.pb, gt, hb, hb_pad, wb,
+        hk, wk, we, top, true_channels, compute_dtype,
     )
 
     n_gg = g_pad // gt
@@ -266,7 +323,9 @@ def score_direct_pallas(
         num_scalar_prefetch=0,
         grid=(n_gg, c_pad),
         in_specs=[
-            pl.BlockSpec((len(groups), 2), lambda gg, cc: (0, 0),
+            pl.BlockSpec((n_slots, 2), lambda gg, cc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((layout.n_groups,), lambda gg, cc: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((g_pad, 2), lambda gg, cc: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, hb, gt * ws), lambda gg, cc: (cc, gg, 0, 0)),
@@ -278,16 +337,40 @@ def score_direct_pallas(
             pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
             pltpu.VMEM((wk, hb_pad + hk - 1 + 7, gt * wb), jnp.float32),
             pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
+            pltpu.VMEM((n_slots, hb_pad, gt * wb), jnp.float32),
         ],
     )
 
+    # scratch scales with n_pad (acc + corr are (n_pad, hb_pad, gt*wb) f32);
+    # deep probe batches need more than the 16 MB default scoped-vmem limit.
+    # Account for the double-buffered input blocks and the resident output
+    # block too, plus temporaries headroom.
+    scratch_bytes = 4 * (
+        2 * n_pad * hb_pad * gt * wb
+        + wk * (hb_pad + hk - 1 + 7) * gt * wb
+        + n_slots * hb_pad * gt * wb
+    )
+    block_bytes = 4 * (
+        2 * n_pad * hk * wk          # kern, double-buffered
+        + 2 * hb * gt * ws           # p0 block
+        + 2 * 2 * he * wi            # int12 block
+        + g_pad * n_pad              # resident output block
+    )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(
+            120 * 1024 * 1024,
+            scratch_bytes + block_bytes + 36 * 1024 * 1024,
+        ),
+    )
     scores = pl.pallas_call(
         body,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_pad, n_pad), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else compiler_params,
     )(
-        group_win,
+        slot_hw,
+        slot_map,
         gvalid,
         p0p,
         int12p,

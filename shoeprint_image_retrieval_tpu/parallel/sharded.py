@@ -21,7 +21,13 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.ncc import GalleryCache, score_templates
-from ..ops.ncc_direct import score_direct
+from ..ops.ncc_direct import (
+    DirectGalleryCache,
+    PackedVariants,
+    VariantLayout,
+    score_direct,
+)
+from ..ops.pallas.ncc_kernel import score_direct_pallas
 from .mesh import GALLERY_AXIS, pad_gallery_cache
 
 
@@ -75,6 +81,69 @@ def make_sharded_scorer(mesh, sharded_cache: GalleryCache, *, true_channels: int
     return score
 
 
+def make_sharded_packed_scorer(
+    mesh,
+    sharded_cache: DirectGalleryCache,
+    *,
+    true_channels: int,
+    layout: VariantLayout,
+    g_true: int | None = None,
+    use_pallas: bool = False,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Jitted (packed, slot_hw, slot_map) -> (N, G) scorer over the mesh.
+
+    Runs the SAME scoring kernel as the single-device path on each shard —
+    the fused Pallas kernel when ``use_pallas`` (the TPU fast path; round-1
+    hardcoded the slower XLA formulation here, forfeiting the fused-kernel
+    win on real meshes) or the XLA direct-conv path otherwise. The packed
+    variant stack and window-size slots are replicated to every device;
+    each device scores its gallery shard; score rows ride ICI through one
+    tiled ``all_gather``.
+    """
+
+    def local(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
+        local_cache = DirectGalleryCache(p0, int1, int2, gvalid)
+        packed = PackedVariants(kernels, window_hw)
+        if use_pallas:
+            s = score_direct_pallas(
+                local_cache, packed, true_channels=true_channels,
+                layout=layout, slot_hw=slot_hw, slot_map=slot_map,
+                compute_dtype=compute_dtype, interpret=interpret,
+            )
+        else:
+            s = score_direct(
+                local_cache, packed, true_channels=true_channels,
+                layout=layout, compute_dtype=compute_dtype,
+            )
+        return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
+            P(GALLERY_AXIS), P(), P(), P(), P(),
+        ),
+        out_specs=P(),
+        # after the tiled all_gather every device holds identical full rows;
+        # the static vma checker cannot infer that, so it is disabled here
+        check_vma=False,
+    )
+
+    @jax.jit
+    def score(packed: PackedVariants, slot_hw, slot_map):
+        s = mapped(
+            sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
+            sharded_cache.valid_hw, packed.kernels, packed.window_hw,
+            slot_hw, slot_map,
+        )
+        return s[:, :g_true] if g_true is not None else s
+
+    return score
+
+
 def make_sharded_direct_scorer(mesh, sharded_cache, *, true_channels: int,
                                g_true: int | None = None):
     """Jitted (groups) -> (N, G) scorer over the mesh, direct-conv path.
@@ -85,7 +154,6 @@ def make_sharded_direct_scorer(mesh, sharded_cache, *, true_channels: int,
     replicated to every device, each device scores its gallery shard, rows
     ride ICI through one tiled all_gather.
     """
-    from ..ops.ncc_direct import DirectGalleryCache
 
     def local(p0, int1, int2, gvalid, groups):
         local_cache = DirectGalleryCache(p0, int1, int2, gvalid)

@@ -29,6 +29,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..data.discovery import Dataset
@@ -38,16 +39,17 @@ from ..metrics import ranks_from_scores
 from ..models.registry import get_backbone
 from ..models.weights import load_or_init_params
 from ..ops.clahe import clahe_batched_dynamic
-from ..ops.ncc import EDGE_CROP
+from ..ops.ncc import EDGE_CROP, build_gallery_cache, score_templates
 from ..ops.ncc_direct import (
-    VariantGroup,
+    PackedVariants,
+    VariantLayout,
     build_direct_cache,
     fold_template,
     score_direct,
 )
 from ..ops.pallas.ncc_kernel import score_direct_pallas
-from ..parallel.mesh import build_mesh
-from ..parallel.sharded import make_sharded_direct_scorer, shard_cache
+from ..parallel.mesh import GALLERY_AXIS, build_mesh
+from ..parallel.sharded import make_sharded_packed_scorer, shard_cache
 from ..ops.preprocess import normalize_batch
 from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
 from ..utils.tracing import profile_trace, stage_timer
@@ -116,9 +118,20 @@ class Pipeline:
         return self._param_cache[block]
 
     def _extract(self, step, params, images: Sequence[np.ndarray]):
-        """Batched masked extraction -> (maps (B,C,Hf,Wf), valid (B,2)) numpy."""
+        """Batched masked extraction -> (maps (B,C,Hf,Wf), valid (B,2)) numpy.
+
+        With ``tpu.mesh_shape > 1`` the image batch is sharded over the mesh
+        (data-parallel extraction: every chip runs the backbone on its batch
+        shard — the TPU analog of the reference's host worker pool,
+        reference dataloader.py:135-172); results gather to host.
+        """
         batch_u8, valid = pack_canvas(images)
         bs = max(1, self.config["tpu"]["extraction_batch"])
+        mesh_size = self._mesh_size()
+        shard = None
+        if mesh_size > 1:
+            bs = -(-bs // mesh_size) * mesh_size  # chunk divisible by the mesh
+            shard = NamedSharding(build_mesh(mesh_size), P(GALLERY_AXIS))
         outs, vouts = [], []
         for i in range(0, len(images), bs):
             chunk = batch_u8[i : i + bs]
@@ -127,7 +140,10 @@ class Pipeline:
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
                 vchunk = np.concatenate([vchunk, np.ones((pad, 2), vchunk.dtype)])
-            y, vy = step(params, jnp.asarray(chunk), jnp.asarray(vchunk))
+            cd, vd = jnp.asarray(chunk), jnp.asarray(vchunk)
+            if shard is not None:
+                cd, vd = jax.device_put(cd, shard), jax.device_put(vd, shard)
+            y, vy = step(params, cd, vd)
             outs.append(np.asarray(y)[: len(images) - i if pad else bs])
             vouts.append(np.asarray(vy)[: len(images) - i if pad else bs])
         return np.concatenate(outs), np.concatenate(vouts)
@@ -168,6 +184,24 @@ class Pipeline:
         return rot_idx, rot_ok, wv, wh, scale_hw, tc, mode, len(rots), len(scls)
 
     # ------------------------------------------------------------------
+    def _resolve_backend(self) -> str:
+        """tpu.ncc_backend -> one of pallas / direct / fft.
+
+        "auto" picks the fused Pallas kernel on accelerators and the XLA
+        direct-conv path on CPU (tests / oracle regeneration), where Mosaic
+        interpret mode would be needlessly slow.
+        """
+        backend = self.config["tpu"].get("ncc_backend", "auto")
+        if backend == "auto":
+            return "pallas" if jax.default_backend() not in ("cpu",) else "direct"
+        if backend not in ("pallas", "direct", "fft"):
+            raise LookupError(f"Unknown tpu.ncc_backend: {backend!r}")
+        return backend
+
+    def _mesh_size(self) -> int:
+        mesh_size = self.config["tpu"]["mesh_shape"] or len(jax.devices())
+        return min(mesh_size, len(jax.devices()))
+
     def _score_cluster(
         self,
         q_maps: np.ndarray,
@@ -177,10 +211,10 @@ class Pipeline:
     ) -> np.ndarray:
         """(Q, G) max-over-variant score matrix for one cluster.
 
-        Uses the direct MXU-conv NCC path (ops/ncc_direct.py): per query, a
-        device-built variant stack grouped by window size — the original
-        [+ unscaled rotations in "full" mode] as one group and each scale as
-        another — scored by one channel-scanned conv GEMM; max over variants.
+        Per probe batch, a device-built variant stack (class-major: the
+        unscaled originals as one class, each scale as another — see
+        :class:`~..ops.ncc_direct.PackedVariants`) scored against every
+        print by the configured NCC backend; max over variants.
         """
         true_c = q_maps.shape[1]
         hc, wc = q_maps.shape[2], q_maps.shape[3]
@@ -189,114 +223,251 @@ class Pipeline:
         )
         kernel_hw = (tc[0] - 2 * EDGE_CROP, tc[1] - 2 * EDGE_CROP)
 
-        cache = build_direct_cache(jnp.asarray(g_maps), jnp.asarray(g_valid))
+        backend = self._resolve_backend()
+        if backend == "fft":
+            return self._score_cluster_fft(
+                q_maps, q_valid, g_maps, g_valid,
+                rot_idx, rot_ok, wv, wh, scale_hw, tc, mode, n_rot, n_scl,
+            )
 
-        # the fused Pallas kernel is the TPU fast path; the XLA direct path
-        # serves CPU (tests / oracle regeneration) where Mosaic interpret
-        # mode would be needlessly slow
-        backend = self.config["tpu"].get("ncc_backend", "auto")
-        use_pallas = backend == "pallas" or (
-            backend == "auto" and jax.default_backend() not in ("cpu",)
-        )
         # tpu.precision="bfloat16": bf16 correlation inputs, f32 accumulation
-        # (~2x MXU at ~1e-3 relative score error; f32 default keeps the
-        # rankings-identical contract)
+        # (~1e-3 relative score error; f32 default keeps the
+        # rankings-identical contract). NOTE: measured no faster than f32 on
+        # this machine's tunneled v5e (see benchmarks/mxu_probe.py).
         dtype = (
             jnp.bfloat16
             if self.config["tpu"].get("precision") == "bfloat16"
             else jnp.float32
         )
-        scorer = partial(
-            score_direct_pallas if use_pallas else score_direct,
-            compute_dtype=dtype,
-        )
+        use_pallas = backend == "pallas"
+        # explicit pallas on a CPU host runs the kernel in interpret mode
+        # (Mosaic needs a TPU); "auto" never lands here on CPU
+        interpret = use_pallas and jax.default_backend() == "cpu"
+
+        # class-major variant layout: class 0 = unscaled originals
+        # [+ rotations], class 1+si = scale si of every rotation
+        include_rots_unscaled = bool(mode == "full" or (n_rot and not n_scl))
+        b0 = 1 + n_rot if include_rots_unscaled else 1
+        class_counts = tuple([b0] + [1 + n_rot] * n_scl)
+        n_var = sum(class_counts)
+
+        # Probes are scored PROBE_BATCH at a time: each probe contributes
+        # n_var variants to the kernel's MXU output axis; a deep output axis
+        # (~512) amortizes the kernel's per-step fixed work (patch rolls,
+        # energy epilogue) over many probes.
+        pb = self.config["tpu"].get("probe_batch", 0) or max(1, 512 // max(1, n_var))
+        pb = max(1, min(len(q_maps), pb))
+        layout = VariantLayout(class_counts, pb)
+
+        # host-side window-size dedup: every group's post-crop window is
+        # known on host (q_valid / scale_hw), so the kernel's energy
+        # epilogue runs once per DISTINCT size (slot), not per group
+        def batch_host(arr, lo):
+            take = arr[lo : lo + pb]
+            if len(take) < pb:
+                take = np.concatenate([take, np.repeat(take[-1:], pb - len(take), axis=0)])
+            return take
+
+        starts = list(range(0, len(q_maps), pb))
+        batch_windows = {}
+        n_slots = 1
+        for lo in starts:
+            qv = batch_host(np.asarray(q_valid), lo)
+            shw_b = batch_host(scale_hw, lo)
+            wins = [qv - 2 * EDGE_CROP]
+            for si in range(n_scl):
+                wins.append(shw_b[:, si] - 2 * EDGE_CROP)
+            wins = np.concatenate(wins).astype(np.int32)  # (n_groups, 2)
+            uniq, inv = np.unique(wins, axis=0, return_inverse=True)
+            batch_windows[lo] = (wins, uniq, inv.astype(np.int32))
+            n_slots = max(n_slots, len(uniq))
+
+        fold = jax.vmap(fold_template, in_axes=(0, None, None))
+        fold_rs = jax.vmap(fold, in_axes=(0, 0, None))  # over the scale axis
+
+        def build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows):
+            """Class-major folded kernel stack for a probe batch (vmapped)."""
+
+            def one(maps_p, valid_p, ridx_p, rok_p, wv_p, wh_p, shw_p):
+                flat = maps_p.reshape(true_c, hc * wc)
+                rot = jnp.take(flat, ridx_p, axis=1)  # (C, R+1, hc*wc)
+                rot = jnp.moveaxis(rot, 0, 1).reshape(-1, true_c, hc, wc)
+                rot = jnp.where(rok_p[:, None], rot, 0.0)
+                base = rot if include_rots_unscaled else rot[:1]
+                base_k = fold(base, valid_p, kernel_hw)  # (B0, C, hk, wk)
+                if not n_scl:
+                    return (base_k,)
+                # scaled variants of each rotated map: two batched matmuls
+                scaled = jnp.einsum(
+                    "soh,rchw,spw->srcop", wv_p, rot, wh_p, precision="highest"
+                )  # (S, R+1, C, tc0, tc1)
+                return base_k, fold_rs(scaled, shw_p, kernel_hw)
+
+            built = jax.vmap(one)(maps, valid, ridx, rok, wvq, whq, shw)
+            ck = built[0].shape[-3:]
+            kerns = [built[0].reshape(pb * b0, *ck)]
+            if n_scl:
+                scaled_k = built[1]  # (pb, S, R+1, C, hk, wk)
+                for si in range(n_scl):
+                    kerns.append(scaled_k[:, si].reshape(pb * (1 + n_rot), *ck))
+            return PackedVariants(jnp.concatenate(kerns), windows)
+
+        def regroup_max(scores):
+            """Class-major (N, G) scores -> (pb, G) max over each probe's variants."""
+            parts, off = [], 0
+            for cnt in layout.class_counts:
+                parts.append(scores[off : off + pb * cnt].reshape(pb, cnt, -1))
+                off += pb * cnt
+            return jnp.max(jnp.concatenate(parts, axis=1), axis=1)
 
         # multi-chip: shard the gallery cache over the mesh and score every
         # variant stack against the local shard, all-gathering score rows
-        # over ICI (SURVEY.md section 2.4; tpu.mesh_shape, 0 = all devices)
-        mesh_size = self.config["tpu"]["mesh_shape"] or len(jax.devices())
-        mesh_size = min(mesh_size, len(jax.devices()))
-        sharded_scorer = None
-        if mesh_size > 1:
-            mesh = build_mesh(mesh_size)
-            sharded_cache, g_true = shard_cache(cache, mesh)
-            sharded_scorer = make_sharded_direct_scorer(
-                mesh, sharded_cache, true_channels=true_c, g_true=g_true
-            )
+        # over ICI (SURVEY.md section 2.4; tpu.mesh_shape, 0 = all devices).
+        # The sharded path runs the SAME backend kernel per shard.
+        mesh_size = self._mesh_size()
+        mesh = build_mesh(mesh_size) if mesh_size > 1 else None
 
-        fold = jax.vmap(fold_template, in_axes=(0, None, None))
-
-        # Queries are scored PROBE_BATCH at a time: each probe contributes
-        # ~(1+R)(1+S) variants to the kernel's output-channel axis, and the
-        # MXU wants that axis near 128 (e.g. 5 probes x 25 variants = 125).
-        n_var = 1 + (1 + n_rot) * n_scl if n_scl else 1 + (n_rot if n_rot else 0)
-        if mode == "full" and n_scl:
-            n_var += n_rot
-        pb = max(1, min(len(q_maps), max(1, 128 // max(1, n_var))))
+        # gallery blocking (tpu.gallery_block): bound device memory for huge
+        # galleries — the direct cache is built and scored per block of
+        # prints, probe batches loop inside each block, score columns
+        # assembled on host (reference replicates the whole gallery into
+        # host shm instead: similarity.py:164-176).
+        g_total = len(g_maps)
+        gb = self.config["tpu"].get("gallery_block", 0) or g_total
+        gb = min(gb, g_total)
+        if mesh is not None:
+            gb = -(-gb // mesh_size) * mesh_size  # align blocks to the mesh
 
         # cache is a jit *argument* (not a closure capture): jit would
         # constant-fold captured arrays via a device->host pull, and large
         # transfers hang over the axon TPU tunnel.
         @jax.jit
-        def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
-            groups = []
-            for p in range(pb):
-                # rotated stack (R+1, C, hc, wc): gather + mask
-                flat = maps[p].reshape(maps.shape[1], hc * wc)
-                rot = jnp.take(flat, ridx[p], axis=1)  # (C, R+1, hc*wc)
-                rot = jnp.moveaxis(rot, 0, 1).reshape(-1, maps.shape[1], hc, wc)
-                rot = jnp.where(rok[p][:, None], rot, 0.0)
-
-                include_rots_unscaled = mode == "full" or (n_rot and not n_scl)
-                base = rot if include_rots_unscaled else rot[:1]
-                groups.append(
-                    VariantGroup(fold(base, valid[p], kernel_hw), valid[p] - 2 * EDGE_CROP)
+        def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
+                        windows, slot_hw, slot_map):
+            packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
+            if use_pallas:
+                scores = score_direct_pallas(
+                    cache_arg, packed, true_channels=true_c, layout=layout,
+                    slot_hw=slot_hw, slot_map=slot_map, compute_dtype=dtype,
+                    interpret=interpret,
                 )
-                if n_scl:
-                    # scaled variants of each rotated map: two batched matmuls
-                    scaled = jnp.einsum(
-                        "soh,rchw,spw->rscop", wvq[p], rot, whq[p], precision="highest"
-                    )  # (R+1, S, C, tc0, tc1)
-                    for si in range(n_scl):
-                        groups.append(
-                            VariantGroup(
-                                fold(scaled[:, si], shw[p, si], kernel_hw),
-                                shw[p, si] - 2 * EDGE_CROP,
-                            )
-                        )
-            if sharded_scorer is None:
-                scores = scorer(cache_arg, groups, true_channels=true_c)
             else:
-                scores = sharded_scorer(groups)
-            g = scores.shape[1]
-            return jnp.max(scores.reshape(pb, n_var, g), axis=1)  # (pb, G)
+                scores = score_direct(
+                    cache_arg, packed, true_channels=true_c, layout=layout,
+                    compute_dtype=dtype,
+                )
+            return regroup_max(scores)
+
+        build_packed_j = jax.jit(build_packed)
+        regroup_max_j = jax.jit(regroup_max)
+        build_cache_j = jax.jit(build_direct_cache)
 
         def pad_batch(arr, lo):
-            """Pad a probe batch to ``pb`` by repeating the last probe."""
-            take = arr[lo : lo + pb]
-            if len(take) < pb:
-                take = np.concatenate(
-                    [take, np.repeat(take[-1:], pb - len(take), axis=0)]
-                )
-            return jnp.asarray(take)
+            return jnp.asarray(batch_host(np.asarray(arr), lo))
 
-        rows = []
-        for lo in range(0, len(q_maps), pb):
-            out = np.asarray(
-                score_batch(
-                    cache,
+        out = np.zeros((len(q_maps), g_total), np.float32)
+        for b_lo in range(0, g_total, gb):
+            b_hi = min(b_lo + gb, g_total)
+            blk, blk_valid = g_maps[b_lo:b_hi], g_valid[b_lo:b_hi]
+            if b_hi - b_lo < gb:  # pad the tail block: one compiled shape
+                pad = gb - (b_hi - b_lo)
+                blk = np.concatenate([blk, np.zeros((pad, *blk.shape[1:]), blk.dtype)])
+                blk_valid = np.concatenate(
+                    [blk_valid, np.full((pad, 2), 2 * EDGE_CROP + 8, blk_valid.dtype)]
+                )
+            cache = build_cache_j(jnp.asarray(blk), jnp.asarray(blk_valid))
+            if mesh is not None:
+                sharded_cache, g_pad_true = shard_cache(cache, mesh)
+                scorer_m = make_sharded_packed_scorer(
+                    mesh, sharded_cache, true_channels=true_c, layout=layout,
+                    g_true=g_pad_true, use_pallas=use_pallas, compute_dtype=dtype,
+                    interpret=interpret,
+                )
+
+            for lo in starts:
+                wins, uniq, smap = batch_windows[lo]
+                slot_hw = np.full((n_slots, 2), 2 * EDGE_CROP + 8, np.int32)
+                slot_hw[: len(uniq)] = uniq
+                args = (
                     pad_batch(q_maps, lo), pad_batch(q_valid, lo),
                     pad_batch(rot_idx, lo), pad_batch(rot_ok, lo),
                     pad_batch(wv, lo), pad_batch(wh, lo),
                     pad_batch(scale_hw, lo),
+                    jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap),
+                )
+                if mesh is not None:
+                    packed = build_packed_j(*args[:8])
+                    rows = np.asarray(regroup_max_j(scorer_m(packed, args[8], args[9])))
+                else:
+                    rows = np.asarray(score_batch(cache, *args))
+                n_take = min(pb, len(q_maps) - lo)
+                out[lo : lo + n_take, b_lo:b_hi] = rows[:n_take, : b_hi - b_lo]
+                if self.verbose and b_hi == g_total:
+                    done = lo + n_take
+                    print(f"  scored {done}/{len(q_maps)} queries")
+        return out
+
+    def _score_cluster_fft(
+        self, q_maps, q_valid, g_maps, g_valid,
+        rot_idx, rot_ok, wv, wh, scale_hw, tc, mode, n_rot, n_scl,
+    ) -> np.ndarray:
+        """Batched-FFT NCC backend (ops/ncc.py) — one probe at a time.
+
+        Builds the raw (unfolded) variant stack on device and scores it with
+        :func:`~..ops.ncc.score_templates` against the FFT gallery cache.
+        """
+        true_c = q_maps.shape[1]
+        hc, wc = q_maps.shape[2], q_maps.shape[3]
+        kernel_hw = (tc[0] - 2 * EDGE_CROP, tc[1] - 2 * EDGE_CROP)
+        include_rots_unscaled = bool(mode == "full" or (n_rot and not n_scl))
+        b0 = 1 + n_rot if include_rots_unscaled else 1
+        n_var = b0 + (1 + n_rot) * n_scl
+
+        cache, _ = jax.jit(
+            partial(build_gallery_cache, template_canvas_hw=kernel_hw)
+        )(jnp.asarray(g_maps), jnp.asarray(g_valid))
+
+        @jax.jit
+        def score_one(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
+            flat = maps.reshape(true_c, hc * wc)
+            rot = jnp.take(flat, ridx, axis=1)
+            rot = jnp.moveaxis(rot, 0, 1).reshape(-1, true_c, hc, wc)
+            rot = jnp.where(rok[:, None], rot, 0.0)
+            base = rot if include_rots_unscaled else rot[:1]
+            stacks = [jnp.pad(base, ((0, 0), (0, 0), (0, tc[0] - hc), (0, tc[1] - wc)))]
+            tvalid = [jnp.tile(valid[None], (b0, 1))]
+            if n_scl:
+                scaled = jnp.einsum(
+                    "soh,rchw,spw->srcop", wvq, rot, whq, precision="highest"
+                )
+                stacks.append(scaled.reshape(-1, true_c, tc[0], tc[1]))
+                tvalid.append(jnp.repeat(shw, 1 + n_rot, axis=0))
+            templates = jnp.concatenate(stacks)
+            c_pad = cache_arg.phat.shape[0]  # cache pads channels; match it
+            if c_pad != true_c:
+                templates = jnp.pad(
+                    templates, ((0, 0), (0, c_pad - true_c), (0, 0), (0, 0))
+                )
+            tv = jnp.concatenate(tvalid)
+            scores = score_templates(
+                cache_arg, templates, tv, true_channels=true_c
+            )  # (V, G)
+            return jnp.max(scores, axis=0)
+
+        out = np.zeros((len(q_maps), len(g_maps)), np.float32)
+        for qi in range(len(q_maps)):
+            out[qi] = np.asarray(
+                score_one(
+                    cache,
+                    jnp.asarray(q_maps[qi]), jnp.asarray(q_valid[qi]),
+                    jnp.asarray(rot_idx[qi]), jnp.asarray(rot_ok[qi]),
+                    jnp.asarray(wv[qi]), jnp.asarray(wh[qi]),
+                    jnp.asarray(scale_hw[qi]),
                 )
             )
-            rows.append(out[: min(pb, len(q_maps) - lo)])
-            if self.verbose:
-                done = min(lo + pb, len(q_maps))
-                if done % 10 < pb or done == len(q_maps):
-                    print(f"  scored {done}/{len(q_maps)} queries")
-        return np.concatenate(rows)
+            if self.verbose and (qi + 1) % 10 == 0:
+                print(f"  scored {qi + 1}/{len(q_maps)} queries")
+        return out
 
     # ------------------------------------------------------------------
     def run_cluster(self, plan) -> ClusterOutput:
@@ -339,8 +510,14 @@ class Pipeline:
         pairs = self.dataset.matching_pairs(q_files)
         ranks = ranks_from_scores(scores, pairs)
         if self.verbose:
-            for qi, rank in enumerate(ranks):
-                print(f"Print {qi} true match ranked {rank}")
+            # per-query rank lines (reference similarity.py:375), labeled by
+            # the shoemark id parsed from the filename — unambiguous across
+            # clusters, unlike a bare positional index
+            from ..data.discovery import parse_image_id
+
+            for qf, rank in zip(q_files, ranks):
+                print(f"Print {parse_image_id(qf, self.dataset.type)} "
+                      f"true match ranked {rank}")
         return ClusterOutput(ranks, pairs, len(q_files), plan.block, plan.scale)
 
     def run(self):

@@ -21,3 +21,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+# Integration tiers: `pytest -m quick` runs the fast oracle/unit tests
+# (~1-2 min); the files below compile whole pipelines on the CPU mesh and
+# carry the suite's wall-clock (VERDICT round 1: a quick tier pays for
+# itself during iteration).
+_SLOW_FILES = {
+    "test_pipeline.py",
+    "test_backends.py",
+    "test_weight_parity.py",
+    "test_sharded.py",
+    "test_models.py",
+    "test_ncc_pallas.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path.name in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)

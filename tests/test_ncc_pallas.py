@@ -105,3 +105,53 @@ def test_pallas_lane_packing_invariance():
             )
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6, err_msg=f"gt={gt}")
+
+
+def test_packed_class_major_matches_list_api():
+    """PackedVariants (class-major, pb probes) == per-group list scoring."""
+    from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+        PackedVariants,
+        VariantLayout,
+    )
+
+    rng = np.random.default_rng(3)
+    c = 4
+    pb = 3
+    class_counts = (1, 2, 2)  # base + two "scale" classes
+    prints = [
+        rng.normal(size=(c, int(rng.integers(14, 20)), int(rng.integers(14, 20)))).astype(np.float32)
+        for _ in range(5)
+    ]
+    gal, gv = _pad_stack(prints, (20, 20))
+    cache = build_direct_cache(gal, gv, channel_block=4)
+    kernel_hw = (11, 11)
+
+    # per (class, probe): one window size, class_counts[ci] kernels
+    kerns, wins, groups = [], [], []
+    for ci, cnt in enumerate(class_counts):
+        for p in range(pb):
+            h, w = int(rng.integers(8, 12)), int(rng.integers(8, 12))
+            ms = [rng.normal(size=(c, h + 4, w + 4)).astype(np.float32) for _ in range(cnt)]
+            tm, tv = _pad_stack(ms, (15, 15))
+            k = jnp.stack([fold_template(tm[i], tv[i], kernel_hw) for i in range(cnt)])
+            kerns.append(k)
+            wins.append([h, w])
+            groups.append(VariantGroup(k, jnp.asarray([h, w], jnp.int32)))
+
+    packed = PackedVariants(
+        jnp.concatenate(kerns), jnp.asarray(wins, jnp.int32)
+    )
+    layout = VariantLayout(class_counts, pb)
+
+    want = np.asarray(score_direct(cache, groups, true_channels=c))
+    got_direct = np.asarray(
+        score_direct(cache, packed, true_channels=c, layout=layout)
+    )
+    np.testing.assert_allclose(got_direct, want, rtol=1e-5, atol=1e-6)
+
+    got_pallas = np.asarray(
+        score_direct_pallas(
+            cache, packed, true_channels=c, layout=layout, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got_pallas, want, rtol=1e-5, atol=1e-6)
