@@ -62,9 +62,10 @@ def main() -> None:
         g_lo, g_hi, q_lo, q_hi = 18, 24, 14, 18
         PB_DEFAULT = 2
     else:
-        G, C, Q = 300, 176, int(os.environ.get("BENCH_Q", "20"))
+        G, C, Q = 300, 176, int(os.environ.get("BENCH_Q", "40"))
         g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
-        PB_DEFAULT = 20
+        PB_DEFAULT = 40  # N=1000 MXU rows; measured sweep: PB 20/28/40 ->
+        # 8.8/10.2/12.1 probes/s (compile+first-run 105/133/313s)
     rotations = [-15, -9, -3, 3, 9, 15, 180]
     scales = [1.02, 1.04, 1.08]
 
@@ -75,6 +76,10 @@ def main() -> None:
     g_sizes = np.stack(
         [rng.integers(g_lo, g_hi + 1, G), rng.integers(g_lo, g_hi + 1, G)], 1
     ).astype(np.int32)
+    # height-sorted (as the engine does): lane-packed print groups share
+    # heights, so the kernel's dynamic y bound skips rows past each group's
+    # tallest print
+    g_sizes = g_sizes[np.argsort(-g_sizes[:, 0], kind="stable")]
     gal = np.zeros((G, C, g_hi, g_hi), np.float32)
     for i, (h, w) in enumerate(g_sizes):
         gal[i, :, :h, :w] = rng.normal(size=(C, h, w)).astype(np.float32)

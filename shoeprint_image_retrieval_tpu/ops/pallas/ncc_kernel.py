@@ -143,7 +143,15 @@ def _kernel_body(
         corr_ref[:, pl.ds(y0, 8), :] = jnp.stack(parts, axis=1)
         return _
 
-    jax.lax.fori_loop(0, hb_pad // 8, y_block, None)
+    # dynamic y bound: output rows past this step's tallest print are never
+    # read (the final max masks per print's valid rows; rows the loop skips
+    # hold stale corr values that only land in masked-out positions) — so
+    # their MXU dots are skipped outright. Pays when the caller sorts the
+    # gallery by height so lane-packed prints share heights.
+    rows_max = gvalid_ref[gg * gt, 0]
+    for p in range(1, gt):
+        rows_max = jnp.maximum(rows_max, gvalid_ref[gg * gt + p, 0])
+    jax.lax.fori_loop(0, (rows_max + 7) // 8, y_block, None)
 
     # --- energy epilogue, deduped per distinct window size ------------------
     # 1/sqrt(local energy) depends only on the window (h, w), not on which

@@ -365,6 +365,14 @@ class Pipeline:
         def pad_batch(arr, lo):
             return jnp.asarray(batch_host(np.asarray(arr), lo))
 
+        # height-sort the gallery so the kernel's lane-packed print groups
+        # share heights — its dynamic y bound then skips dot rows past each
+        # group's tallest print; columns are un-permuted on return
+        order = np.argsort(-np.asarray(g_valid)[:, 0], kind="stable")
+        inv_order = np.argsort(order)
+        g_maps = np.asarray(g_maps)[order]
+        g_valid = np.asarray(g_valid)[order]
+
         out = np.zeros((len(q_maps), g_total), np.float32)
         for b_lo in range(0, g_total, gb):
             b_hi = min(b_lo + gb, g_total)
@@ -405,7 +413,7 @@ class Pipeline:
                 if self.verbose and b_hi == g_total:
                     done = lo + n_take
                     print(f"  scored {done}/{len(q_maps)} queries")
-        return out
+        return out[:, inv_order]
 
     def _score_cluster_fft(
         self, q_maps, q_valid, g_maps, g_valid,
