@@ -81,17 +81,22 @@ def load_images(
 
 
 def pack_canvas(
-    images: Sequence[np.ndarray], canvas_hw: tuple[int, int] | None = None
+    images: Sequence[np.ndarray], canvas_hw: tuple[int, int] | None = None,
+    round_to: int = 64,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Zero-pad images onto one canvas -> (batch u8, valid (B,2) int32).
 
     The canvas is the shape bucket that lets one XLA compilation serve the
-    whole cluster (SURVEY.md section 7 design stance).
+    whole cluster (SURVEY.md section 7 design stance). Canvas sides round up
+    to ``round_to`` so different clusters / the gallery land on the SAME
+    bucket far more often — every extraction compile through the axon AOT
+    service costs minutes, and masked extraction makes padding free
+    (batched == native-shape extraction is proven in test_models.py).
     """
     if canvas_hw is None:
         canvas_hw = (
-            max(im.shape[0] for im in images),
-            max(im.shape[1] for im in images),
+            -(-max(im.shape[0] for im in images) // round_to) * round_to,
+            -(-max(im.shape[1] for im in images) // round_to) * round_to,
         )
     extra = images[0].shape[2:]  # () for gray, (3,) for RGB
     batch = np.zeros((len(images), *canvas_hw, *extra), np.uint8)

@@ -50,6 +50,7 @@ REGISTRY: dict[str, BackboneSpec] = {
         lambda: efficientnet_v2("L"), "IMAGENET1K_V1",
         (0.5, 0.5, 0.5), (0.5, 0.5, 0.5),
     ),
+    "DenseNet_201": BackboneSpec(densenet201, "IMAGENET1K_V1"),
 }
 
 

@@ -253,9 +253,17 @@ class Pipeline:
 
         # Probes are scored PROBE_BATCH at a time: each probe contributes
         # n_var variants to the kernel's MXU output axis; a deep output axis
-        # (~512) amortizes the kernel's per-step fixed work (patch rolls,
-        # energy epilogue) over many probes.
-        pb = self.config["tpu"].get("probe_batch", 0) or max(1, 512 // max(1, n_var))
+        # amortizes the kernel's per-step fixed work (patch rolls, energy
+        # epilogue) over many probes — measured sweep at WVU scale:
+        # N=500/700/1000 -> 8.8/10.2/13.2 probes/s. Auto targets ~1024 rows,
+        # clamped so the kernel's acc+corr VMEM scratch stays under ~60 MB.
+        gal_hb = -(-(g_maps.shape[2] - 2 * EDGE_CROP) // 8) * 8
+        gal_wb = g_maps.shape[3] - 2 * EDGE_CROP
+        gt = max(1, min(4, 128 // max(1, gal_wb)))
+        n_rows_max = max(64, int(60e6 / (8 * gal_hb * gt * gal_wb)))
+        pb = self.config["tpu"].get("probe_batch", 0) or max(
+            1, min(1024, n_rows_max) // max(1, n_var)
+        )
         pb = max(1, min(len(q_maps), pb))
         layout = VariantLayout(class_counts, pb)
 

@@ -106,3 +106,38 @@ def test_probe_batch_invariance(dataset, tmp_path, direct_ranks):
     ranks = _run(dataset, tmp_path,
                  'ncc_backend = "direct"\nprobe_batch = 1')
     np.testing.assert_array_equal(ranks, direct_ranks)
+
+
+def test_fid300_end_to_end(tmp_path):
+    """Full Pipeline on an FID-300-layout dataset: label_table.csv matching
+    pairs, zero-padded numeric filenames (reference dataloader.py:101-107,
+    245-250)."""
+    import csv
+
+    root = tmp_path / "fid"
+    (root / "Gallery").mkdir(parents=True)
+    (root / "Query").mkdir()
+    rng = np.random.default_rng(3)
+    prints = {}
+    for gid in range(1, 6):
+        img = rng.integers(30, 220, size=(64, 58), dtype=np.uint8)
+        Image.fromarray(img).save(root / "Gallery" / f"{gid:05d}.png")
+        prints[gid] = img
+    # queries 101/102 match gallery 3/1 via the CSV (not by filename id)
+    with (root / "label_table.csv").open("w", newline="") as fh:
+        csv.writer(fh).writerows([[101, 3], [102, 1]])
+    for qid, gid in [(101, 3), (102, 1)]:
+        crop = prints[gid][4:46, 4:42]
+        Image.fromarray(crop).save(root / "Query" / f"{qid:05d}.png")
+
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        RUN_TOML.format(dir=str(root), extra='ncc_backend = "direct"').replace(
+            'type = "Impress"', 'type = "FID-300"'
+        )
+    )
+    pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+    outs = list(pipe.run())
+    ranks = np.concatenate([o.ranks for o in outs])
+    # queries are clean crops of their true match: rank 1 expected
+    assert (ranks == 1).all(), ranks

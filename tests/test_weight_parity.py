@@ -27,7 +27,12 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
-from torch_effnet_replica import replica_v2m  # noqa: E402
+from torch_effnet_replica import (  # noqa: E402
+    replica_b1,
+    replica_densenet201,
+    replica_v2m,
+    replica_vgg,
+)
 
 
 def _export_npz(model, path):
@@ -106,6 +111,40 @@ def test_convert_is_strict_about_missing_and_extra_keys(replica_and_npz):
     extra["features.9.9.weight"] = np.zeros((1,), np.float32)
     with pytest.raises(ValueError):
         convert(full, extra, truncated=False)
+
+
+@pytest.mark.parametrize(
+    "model_type,make_replica,block,size,tol",
+    [
+        ("VGG16", lambda: replica_vgg("VGG16"), 7, 48, 1e-4),
+        ("VGG19_BN", lambda: replica_vgg("VGG19_BN"), 10, 48, 1e-4),
+        ("DenseNet_201", replica_densenet201, 6, 48, 1e-4),
+        ("EfficientNet_B1", replica_b1, 4, 48, 1e-4),
+    ],
+)
+def test_other_families_convert_and_match(tmp_path, model_type, make_replica,
+                                          block, size, tol):
+    """Every model family's converter path proven against an independent
+    torchvision-shaped torch.nn replica (not just EfficientNetV2)."""
+    model = make_replica()
+    path = tmp_path / f"{model_type}.npz"
+    _export_npz(model, path)
+
+    features = get_backbone(model_type).build().truncate(block)
+    params = convert(features, load_state_dict(path), truncated=True)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        want = model.features[:block](torch.from_numpy(x)).numpy()
+    got, _ = features.apply(
+        params, jnp.asarray(x), jnp.asarray([[size, size]], jnp.int32)
+    )
+    got = np.asarray(got)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = float(np.abs(want).max())
+    err = float(np.abs(got - want).max())
+    assert err <= tol * max(scale, 1.0), f"{model_type}: err {err} scale {scale}"
 
 
 RUN_TOML = """

@@ -40,14 +40,26 @@ V2M_ROWS = [
     ("mb", 6, 3, 1, 304, 512, 5),
 ]
 
-BN_EPS = 1e-3
+# torchvision efficientnet_b1: V1 base rows at width 1.0 / depth 1.1
+# (ceil-scaled layer counts), BN eps 1e-5
+B1_ROWS = [
+    ("mb", 1, 3, 1, 32, 16, 2),
+    ("mb", 6, 3, 2, 16, 24, 3),
+    ("mb", 6, 5, 2, 24, 40, 3),
+    ("mb", 6, 3, 2, 40, 80, 4),
+    ("mb", 6, 5, 1, 80, 112, 4),
+    ("mb", 6, 5, 2, 112, 192, 5),
+    ("mb", 6, 3, 1, 192, 320, 2),
+]
+
+BN_EPS = 1e-3  # EfficientNetV2; V1 uses 1e-5
 
 
 def cna(cin: int, cout: int, k: int, s: int, groups: int = 1,
-        act: bool = True) -> nn.Sequential:
+        act: bool = True, eps: float = BN_EPS) -> nn.Sequential:
     layers: list[nn.Module] = [
         nn.Conv2d(cin, cout, k, s, (k - 1) // 2, groups=groups, bias=False),
-        nn.BatchNorm2d(cout, eps=BN_EPS),
+        nn.BatchNorm2d(cout, eps=eps),
     ]
     if act:
         layers.append(nn.SiLU(inplace=True))
@@ -73,15 +85,16 @@ class SqueezeExcitation(nn.Module):
 
 
 class MBConv(nn.Module):
-    def __init__(self, cin: int, cout: int, k: int, s: int, expand: int):
+    def __init__(self, cin: int, cout: int, k: int, s: int, expand: int,
+                 eps: float = BN_EPS):
         super().__init__()
         exp = cin * expand
         layers: list[nn.Module] = []
         if expand != 1:
-            layers.append(cna(cin, exp, 1, 1))
-        layers.append(cna(exp, exp, k, s, groups=exp))
+            layers.append(cna(cin, exp, 1, 1, eps=eps))
+        layers.append(cna(exp, exp, k, s, groups=exp, eps=eps))
         layers.append(SqueezeExcitation(exp, max(1, cin // 4)))
-        layers.append(cna(exp, cout, 1, 1, act=False))
+        layers.append(cna(exp, cout, 1, 1, act=False, eps=eps))
         self.block = nn.Sequential(*layers)
         self.use_res = s == 1 and cin == cout
 
@@ -91,16 +104,17 @@ class MBConv(nn.Module):
 
 
 class FusedMBConv(nn.Module):
-    def __init__(self, cin: int, cout: int, k: int, s: int, expand: int):
+    def __init__(self, cin: int, cout: int, k: int, s: int, expand: int,
+                 eps: float = BN_EPS):
         super().__init__()
         exp = cin * expand
         if expand != 1:
             self.block = nn.Sequential(
-                cna(cin, exp, k, s),
-                cna(exp, cout, 1, 1, act=False),
+                cna(cin, exp, k, s, eps=eps),
+                cna(exp, cout, 1, 1, act=False, eps=eps),
             )
         else:
-            self.block = nn.Sequential(cna(cin, cout, k, s))
+            self.block = nn.Sequential(cna(cin, cout, k, s, eps=eps))
         self.use_res = s == 1 and cin == cout
 
     def forward(self, x):
@@ -111,33 +125,130 @@ class FusedMBConv(nn.Module):
 class Replica(nn.Module):
     """Carries only ``features`` — the namespace the converter consumes."""
 
-    def __init__(self, rows=V2M_ROWS, head_out: int = 1280):
+    def __init__(self, rows=V2M_ROWS, head_out: int = 1280, eps: float = BN_EPS):
         super().__init__()
         stages = []
         for kind, expand, k, s, cin, cout, n in rows:
             cls = MBConv if kind == "mb" else FusedMBConv
             blocks = [
                 cls(cin if i == 0 else cout, cout, k,
-                    s if i == 0 else 1, expand)
+                    s if i == 0 else 1, expand, eps=eps)
                 for i in range(n)
             ]
             stages.append(nn.Sequential(*blocks))
         self.features = nn.Sequential(
-            cna(3, rows[0][4], 3, 2),
+            cna(3, rows[0][4], 3, 2, eps=eps),
             *stages,
-            cna(rows[-1][5], head_out, 1, 1),
+            cna(rows[-1][5], head_out, 1, 1, eps=eps),
         )
 
     def forward(self, x):
         return self.features(x)
 
 
-def replica_v2m(seed: int = 0) -> Replica:
-    """Replica with randomized (but deterministic) weights AND running
-    stats — nontrivial running_mean/var catch BN key mix-ups that default
-    (0, 1) stats would hide."""
+# ---------------------------------------------------------------------------
+# VGG replica (torchvision vgg.features: flat Sequential, per-op children)
+# ---------------------------------------------------------------------------
+
+_VGG_CFGS = {
+    "VGG16": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M"],
+    "VGG19": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+
+class VGGReplica(nn.Module):
+    def __init__(self, variant: str):
+        super().__init__()
+        cfg = _VGG_CFGS["VGG19" if variant == "VGG19_BN" else variant]
+        bn = variant.endswith("_BN")
+        layers: list[nn.Module] = []
+        cin = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(cin, v, 3, 1, 1))
+                if bn:
+                    layers.append(nn.BatchNorm2d(v))
+                layers.append(nn.ReLU(inplace=True))
+                cin = v
+        self.features = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+# ---------------------------------------------------------------------------
+# DenseNet-201 replica (torchvision densenet.features: NAMED children)
+# ---------------------------------------------------------------------------
+
+class _DenseLayer(nn.Module):
+    def __init__(self, cin: int, growth: int = 32, bn_size: int = 4):
+        super().__init__()
+        mid = bn_size * growth
+        self.norm1 = nn.BatchNorm2d(cin)
+        self.relu1 = nn.ReLU(inplace=True)
+        self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(mid)
+        self.relu2 = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(mid, growth, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        y = self.conv1(self.relu1(self.norm1(x)))
+        y = self.conv2(self.relu2(self.norm2(y)))
+        return torch.cat([x, y], 1)
+
+
+class _Transition(nn.Module):
+    def __init__(self, cin: int, cout: int):
+        super().__init__()
+        self.norm = nn.BatchNorm2d(cin)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv = nn.Conv2d(cin, cout, 1, bias=False)
+        self.pool = nn.AvgPool2d(2, 2)
+
+    def forward(self, x):
+        return self.pool(self.conv(self.relu(self.norm(x))))
+
+
+class DenseNet201Replica(nn.Module):
+    def __init__(self, growth: int = 32, blocks=(6, 12, 48, 32), init_ch: int = 64):
+        super().__init__()
+        from collections import OrderedDict
+
+        feats = OrderedDict()
+        feats["conv0"] = nn.Conv2d(3, init_ch, 7, 2, 3, bias=False)
+        feats["norm0"] = nn.BatchNorm2d(init_ch)
+        feats["relu0"] = nn.ReLU(inplace=True)
+        feats["pool0"] = nn.MaxPool2d(3, 2, 1)
+        ch = init_ch
+        for bi, n in enumerate(blocks):
+            block = nn.Sequential()
+            for j in range(n):
+                block.add_module(f"denselayer{j + 1}", _DenseLayer(ch + j * growth, growth))
+            feats[f"denseblock{bi + 1}"] = block
+            ch += n * growth
+            if bi != len(blocks) - 1:
+                feats[f"transition{bi + 1}"] = _Transition(ch, ch // 2)
+                ch //= 2
+        feats["norm5"] = nn.BatchNorm2d(ch)
+        self.features = nn.Sequential(feats)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+def _randomize(model: nn.Module, seed: int) -> nn.Module:
+    """Deterministic random weights AND running stats — nontrivial
+    running_mean/var catch BN key mix-ups that default (0, 1) stats hide."""
     torch.manual_seed(seed)
-    model = Replica()
+    for m in model.modules():
+        if isinstance(m, (nn.Conv2d, nn.Linear)):
+            nn.init.normal_(m.weight, 0.0, 0.05)
+            if m.bias is not None:
+                nn.init.normal_(m.bias, 0.0, 0.1)
     with torch.no_grad():
         for m in model.modules():
             if isinstance(m, nn.BatchNorm2d):
@@ -147,3 +258,21 @@ def replica_v2m(seed: int = 0) -> Replica:
                 m.bias.normal_(0.0, 0.2)
     model.eval()
     return model
+
+
+def replica_v2m(seed: int = 0) -> Replica:
+    return _randomize(Replica(), seed)
+
+
+def replica_b1(seed: int = 0) -> Replica:
+    """torchvision efficientnet_b1 topology (V1 MBConv, BN eps 1e-5,
+    head = 4x last stage = 1280)."""
+    return _randomize(Replica(rows=B1_ROWS, head_out=1280, eps=1e-5), seed)
+
+
+def replica_vgg(variant: str, seed: int = 0) -> VGGReplica:
+    return _randomize(VGGReplica(variant), seed)
+
+
+def replica_densenet201(seed: int = 0) -> DenseNet201Replica:
+    return _randomize(DenseNet201Replica(), seed)
