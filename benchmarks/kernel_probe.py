@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Isolated NCC-kernel probe: time score_direct_pallas alone, f32 vs bf16.
+
+bench.py times the full probe-batch step (variant build + fold + kernel).
+This probe pre-builds the packed kernel stack once and times ONLY the
+Pallas scoring call, with an exact dynamic-FLOP count (the kernel's y-row
+bound skips dot rows past each lane-packed group's tallest print), so the
+delivered TFLOP/s of the hot dots can be read directly and compared
+against the MXU microbenchmark (mxu_probe.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+        PackedVariants,
+        VariantLayout,
+        build_direct_cache,
+        fold_template,
+    )
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        score_direct_pallas,
+    )
+
+    G, C = 300, 176
+    g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
+    PB = int(os.environ.get("PB", "40"))
+    n_var = 25
+    N = PB * n_var
+
+    rng = np.random.default_rng(0)
+    g_sizes = np.stack(
+        [rng.integers(g_lo, g_hi + 1, G), rng.integers(g_lo, g_hi + 1, G)], 1
+    ).astype(np.int32)
+    g_sizes = g_sizes[np.argsort(-g_sizes[:, 0], kind="stable")]
+    gal = np.zeros((G, C, g_hi, g_hi), np.float32)
+    for i, (h, w) in enumerate(g_sizes):
+        gal[i, :, :h, :w] = rng.normal(size=(C, h, w)).astype(np.float32)
+    cache = jax.jit(build_direct_cache)(jnp.asarray(gal), jnp.asarray(g_sizes))
+    jax.block_until_ready(cache.p0)
+
+    # one folded template canvas shared by all N rows (window sizes vary)
+    tc = int(q_hi * 1.08)
+    kernel_hw = (tc - 4, tc - 4)
+    q_sizes = np.stack(
+        [rng.integers(q_lo, q_hi + 1, N), rng.integers(q_lo, q_hi + 1, N)], 1
+    ).astype(np.int32)
+    tmpl = np.zeros((N, C, tc, tc), np.float32)
+    for i, (h, w) in enumerate(q_sizes):
+        tmpl[i, :, :h, :w] = rng.normal(size=(C, h, w)).astype(np.float32)
+    fold = jax.vmap(fold_template, in_axes=(0, 0, None))
+    kernels = jax.jit(lambda t, v: fold(t, v, kernel_hw))(
+        jnp.asarray(tmpl), jnp.asarray(q_sizes)
+    )
+    layout = VariantLayout((n_var,), PB)
+    wins = (q_sizes[: layout.n_groups] - 4).astype(np.int32)
+    uniq, inv = np.unique(wins, axis=0, return_inverse=True)
+    packed = PackedVariants(kernels, jnp.asarray(wins))
+    slot_hw = jnp.asarray(uniq.astype(np.int32))
+    slot_map = jnp.asarray(inv.astype(np.int32))
+
+    # exact dot FLOPs given the dynamic y bound + lane packing
+    hk, wk = kernel_hw
+    hb = wb = g_hi - 4
+    n_pad = -(-N // 8) * 8
+    gt = max(1, min(4, 128 // wb))
+    g_pad = -(-G // gt) * gt
+    heights = np.concatenate([g_sizes[:, 0] - 4, np.full(g_pad - G, 8)])
+    lanes = gt * wb
+    flops = 0
+    for gg in range(g_pad // gt):
+        rows_max = heights[gg * gt : (gg + 1) * gt].max()
+        yblocks = -(-int(rows_max) // 8)
+        flops += yblocks * 8 * 2 * n_pad * (hk * wk) * lanes
+    flops *= C
+    print(f"G={G} C={C} N={N} kernel={kernel_hw} gt={gt} "
+          f"dot FLOPs/batch = {flops/1e12:.2f} TF "
+          f"({flops/PB/1e12:.3f} TF/probe)", flush=True)
+
+    for name, dt_ in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        f = jax.jit(
+            lambda c, p, sh, sm, _dt=dt_: score_direct_pallas(
+                c, p, true_channels=C, layout=layout,
+                slot_hw=sh, slot_map=sm, compute_dtype=_dt,
+            )
+        )
+        t0 = time.perf_counter()
+        np.asarray(f(cache, packed, slot_hw, slot_map))
+        print(f"{name}: compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = f(cache, packed, slot_hw, slot_map)
+        np.asarray(r)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{name}: {dt*1e3:.1f} ms/batch -> {flops/dt/1e12:.1f} TF/s, "
+              f"{PB/dt:.2f} probes/s (kernel only)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,9 +19,9 @@ cv2 in tests/test_clahe.py for the grayscale path):
 5. per-pixel bilinear interpolation between the four neighboring tile LUTs
    at the pixel's own intensity, rounded half-to-even.
 
-The RGB path converts to LAB (float math, D65 — OpenCV's 8-bit LAB uses
-fixed-point tables, so RGB inputs are close-but-not-bit-exact; the
-datasets' shoeprint scans are grayscale), applies CLAHE to L, converts back.
+The RGB path converts to LAB with OpenCV's own 8-bit fixed-point integer
+algorithms (reproduced below, verified equal to cv2 over every 2^24 input),
+applies CLAHE to L, converts back — so RGB inputs are bit-exact too.
 """
 
 from __future__ import annotations
@@ -218,52 +218,169 @@ def clahe_batched_dynamic(
 
 
 # ---------------------------------------------------------------------------
-# RGB <-> LAB (float math; for the reference's RGB branch, network.py:199-206)
+# RGB <-> LAB, bit-exact vs OpenCV's 8-bit fixed-point paths (for the
+# reference's RGB branch, network.py:199-206). OpenCV converts 8U images with
+# integer table arithmetic (color_lab.cpp RGB2Lab_b / Lab2RGBinteger), NOT the
+# float CIE formulas — both directions below reproduce those integer
+# algorithms and were verified equal to cv2 over ALL 2^24 inputs
+# (tests/test_clahe.py spot-checks; the exhaustive sweep was run offline).
 # ---------------------------------------------------------------------------
 
-def _srgb_to_xyz(rgb: jnp.ndarray) -> jnp.ndarray:
-    r = jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
-    m = jnp.asarray(
-        [[0.412453, 0.357580, 0.180423],
-         [0.212671, 0.715160, 0.072169],
-         [0.019334, 0.119193, 0.950227]], jnp.float32)
-    return jnp.einsum("ij,...j->...i", m, r)
+_LAB_SHIFT = 12          # xyz fixed-point shift
+_GAMMA_SHIFT = 3
+_LAB_SHIFT2 = _LAB_SHIFT + _GAMMA_SHIFT
+_LAB_BASE = 1 << 14      # Lab2RGBinteger BASE
+_LAB_MIN_AB = -8145      # abToXZ table origin
+_INV_GAMMA_SIZE = 1 << 12
+_D65 = (0.950456, 1.0, 1.088754)
+_SRGB2XYZ = (0.412453, 0.357580, 0.180423,
+             0.212671, 0.715160, 0.072169,
+             0.019334, 0.119193, 0.950227)
+_XYZ2SRGB = (3.240479, -1.537150, -0.498535,
+             -0.969256, 1.875992, 0.041556,
+             0.055648, -0.204043, 1.057311)
+
+
+def _cvround(x):
+    import numpy as np
+
+    return np.rint(x).astype(np.int64)
+
+
+def _descale(x, n: int):
+    return (x + (1 << (n - 1))) >> n
+
+
+@functools.lru_cache(maxsize=1)
+def _rgb2lab_tables():
+    """OpenCV RGB2Lab_b tables: sRGB gamma (x8 fixed point), cbrt, coeffs.
+
+    Entries 49/628 of the cbrt table are nudged to match cv2's softfloat
+    table generation (f64 rounding lands on the other side of the half).
+    """
+    import numpy as np
+
+    i = np.arange(256) / 255.0
+    g = np.where(i <= 0.04045, i / 12.92, ((i + 0.055) / 1.055) ** 2.4)
+    gamma_tab = _cvround(255 * (1 << _GAMMA_SHIFT) * g)
+
+    n = 256 * 3 // 2 * (1 << _GAMMA_SHIFT)
+    xi = np.arange(n, dtype=np.float64) / (255.0 * (1 << _GAMMA_SHIFT))
+    f = np.where(xi < 216.0 / 24389.0, xi * (841.0 / 108.0) + 16.0 / 116.0,
+                 np.cbrt(xi))
+    cbrt_tab = _cvround((1 << _LAB_SHIFT2) * f)
+    cbrt_tab[49] -= 1
+    cbrt_tab[628] += 1
+
+    coeffs = np.array(
+        [_cvround(np.float64(1 << _LAB_SHIFT) * _SRGB2XYZ[r * 3 + c] / _D65[r])
+         for r in range(3) for c in range(3)]
+    )
+    return gamma_tab, cbrt_tab, coeffs
+
+
+@functools.lru_cache(maxsize=1)
+def _lab2rgb_tables():
+    """OpenCV Lab2RGBinteger tables: L->(y, ify), ab->xz, coeffs, inv gamma."""
+    import numpy as np
+
+    base = _LAB_BASE
+    y_tab = np.zeros(256, np.int64)
+    ify_tab = np.zeros(256, np.int64)
+    for i in range(256):
+        if i <= 20:  # L*100/255 <= 8: the CIE linear region
+            y_tab[i] = round(i * base * 100 / 903.3 / 255)
+            ify_tab[i] = round(base * (7.787 * (i * 100 / 903.3 / 255) + 16 / 116))
+        else:
+            fy = (i * 100 / 255 + 16) / 116
+            ify_tab[i] = round(base * fy)
+            y_tab[i] = round(base * fy**3)
+
+    n_t = base * 9 // 4
+    idx = np.arange(_LAB_MIN_AB, _LAB_MIN_AB + n_t, dtype=np.int64)
+
+    def cdiv(a, b):  # C integer division (truncates toward zero)
+        q = np.abs(a) // b
+        return np.where(a < 0, -q, q)
+
+    lin = cdiv(idx * 108, 841) - ((base * 16 // 116) * 108 // 841)
+    cube = cdiv(cdiv(idx * idx, base) * idx, base)
+    ab_tab = np.where(idx <= 3390, lin, cube)  # 3390 ~ BASE*6/29
+
+    coeffs = np.array(
+        [_cvround(np.float64(1 << _LAB_SHIFT) * _XYZ2SRGB[r * 3 + c] * _D65[c])
+         for r in range(3) for c in range(3)]
+    )
+    u = np.arange(_INV_GAMMA_SIZE, dtype=np.float64) / _INV_GAMMA_SIZE
+    ginv = np.where(u <= 0.0031308, 12.92 * u,
+                    1.055 * np.maximum(u, 0) ** (1 / 2.4) - 0.055)
+    inv_gamma_tab = np.clip(_cvround(255.0 * ginv), 0, 255)
+    return y_tab, ify_tab, ab_tab, coeffs, inv_gamma_tab
 
 
 def rgb_to_lab_u8(rgb: jnp.ndarray) -> jnp.ndarray:
-    """uint8 RGB -> OpenCV-scaled LAB (L,a,b in [0,255] uint8 convention)."""
-    xyz = _srgb_to_xyz(rgb.astype(jnp.float32) / 255.0)
-    xn = xyz / jnp.asarray([0.950456, 1.0, 1.088754], jnp.float32)
-    f = jnp.where(xn > 0.008856, jnp.cbrt(xn), 7.787 * xn + 16.0 / 116.0)
-    l_val = jnp.where(xn[..., 1] > 0.008856,
-                      116.0 * f[..., 1] - 16.0, 903.3 * xn[..., 1])
-    a = 500.0 * (f[..., 0] - f[..., 1]) + 128.0
-    b = 200.0 * (f[..., 1] - f[..., 2]) + 128.0
-    lab = jnp.stack([l_val * 255.0 / 100.0, a, b], axis=-1)
-    return jnp.clip(jnp.round(lab), 0, 255).astype(jnp.uint8)
+    """uint8 RGB -> LAB exactly as ``cv2.cvtColor(..., COLOR_RGB2LAB)``.
+
+    Integer algorithm of OpenCV's RGB2Lab_b: gamma-expand through a
+    256-entry x2040 table, XYZ at 2^12 fixed point (coefficients folded with
+    the D65 whitepoint), f(t) through a 3072-entry cbrt table at 2^15, then
+    L/a/b by integer descale. int32 throughout (products fit: 2040*4433*3).
+    """
+    gamma_tab, cbrt_tab, coeffs = _rgb2lab_tables()
+    gt = jnp.asarray(gamma_tab, jnp.int32)
+    ct = jnp.asarray(cbrt_tab, jnp.int32)
+    c = [int(v) for v in coeffs]
+
+    rgbi = rgb.astype(jnp.int32)
+    r = jnp.take(gt, rgbi[..., 0])
+    g = jnp.take(gt, rgbi[..., 1])
+    b = jnp.take(gt, rgbi[..., 2])
+    fx = jnp.take(ct, _descale(r * c[0] + g * c[1] + b * c[2], _LAB_SHIFT))
+    fy = jnp.take(ct, _descale(r * c[3] + g * c[4] + b * c[5], _LAB_SHIFT))
+    fz = jnp.take(ct, _descale(r * c[6] + g * c[7] + b * c[8], _LAB_SHIFT))
+    l_scale = (116 * 255 + 50) // 100
+    l_shift = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+    l_val = _descale(l_scale * fy + l_shift, _LAB_SHIFT2)
+    a_val = _descale(500 * (fx - fy) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    b_val = _descale(200 * (fy - fz) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    lab = jnp.stack([l_val, a_val, b_val], axis=-1)
+    return jnp.clip(lab, 0, 255).astype(jnp.uint8)
 
 
 def lab_u8_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
-    l_val = lab[..., 0].astype(jnp.float32) * 100.0 / 255.0
-    a = lab[..., 1].astype(jnp.float32) - 128.0
-    b = lab[..., 2].astype(jnp.float32) - 128.0
-    fy = (l_val + 16.0) / 116.0
-    fx = fy + a / 500.0
-    fz = fy - b / 200.0
+    """uint8 LAB -> RGB exactly as ``cv2.cvtColor(..., COLOR_LAB2RGB)``.
 
-    def inv_f(t):
-        t3 = t * t * t
-        return jnp.where(t3 > 0.008856, t3, (t - 16.0 / 116.0) / 7.787)
+    Integer algorithm of OpenCV's Lab2RGBinteger: L through a 256-entry
+    (y, ify) table at 2^14, a/b folded into ifx/ifz by fixed-point
+    multiplies, x/z through the integer-division abToXZ table, 3x3 integer
+    matrix (coefficients folded with D65) descaled to a 4096-entry inverse
+    sRGB gamma table. int32 suffices: |coeff*xyz| < 2^27.
+    """
+    y_tab, ify_tab, ab_tab, coeffs, inv_gamma_tab = _lab2rgb_tables()
+    yt = jnp.asarray(y_tab, jnp.int32)
+    ift = jnp.asarray(ify_tab, jnp.int32)
+    abt = jnp.asarray(ab_tab, jnp.int32)
+    igt = jnp.asarray(inv_gamma_tab, jnp.uint8)
+    c = [int(v) for v in coeffs]
+    base = _LAB_BASE
+    n_t = base * 9 // 4
 
-    xyz = jnp.stack([inv_f(fx), inv_f(fy), inv_f(fz)], axis=-1)
-    xyz = xyz * jnp.asarray([0.950456, 1.0, 1.088754], jnp.float32)
-    m = jnp.asarray(
-        [[3.240479, -1.537150, -0.498535],
-         [-0.969256, 1.875992, 0.041556],
-         [0.055648, -0.204043, 1.057311]], jnp.float32)
-    lin = jnp.einsum("ij,...j->...i", m, xyz)
-    srgb = jnp.where(lin > 0.0031308, 1.055 * lin ** (1 / 2.4) - 0.055, 12.92 * lin)
-    return jnp.clip(jnp.round(srgb * 255.0), 0, 255).astype(jnp.uint8)
+    li = lab[..., 0].astype(jnp.int32)
+    ai = lab[..., 1].astype(jnp.int32)
+    bi = lab[..., 2].astype(jnp.int32)
+    y = jnp.take(yt, li)
+    ify = jnp.take(ift, li)
+    adiv = ((5 * ai * 53687 + (1 << 7)) >> 13) - 128 * base // 500
+    bdiv = ((bi * 41943 + (1 << 4)) >> 9) - (128 * base // 200) + 1
+    x = jnp.take(abt, jnp.clip(ify + adiv - _LAB_MIN_AB, 0, n_t - 1))
+    z = jnp.take(abt, jnp.clip(ify - bdiv - _LAB_MIN_AB, 0, n_t - 1))
+    shift = _LAB_SHIFT + 2  # descale from 2^26 to the 4096-entry gamma domain
+    ro = jnp.clip(_descale(c[0] * x + c[1] * y + c[2] * z, shift), 0, _INV_GAMMA_SIZE - 1)
+    go = jnp.clip(_descale(c[3] * x + c[4] * y + c[5] * z, shift), 0, _INV_GAMMA_SIZE - 1)
+    bo = jnp.clip(_descale(c[6] * x + c[7] * y + c[8] * z, shift), 0, _INV_GAMMA_SIZE - 1)
+    return jnp.stack(
+        [jnp.take(igt, ro), jnp.take(igt, go), jnp.take(igt, bo)], axis=-1
+    )
 
 
 def clahe_image(

@@ -48,23 +48,52 @@ def test_batched_matches_loop():
         np.testing.assert_array_equal(got[i], np.asarray(clahe_u8(imgs[i])))
 
 
-def test_rgb_path_close_to_cv2():
-    """RGB goes via LAB; OpenCV uses fixed-point LAB tables so we assert
-    closeness, not equality (datasets are grayscale; documented divergence)."""
+def test_rgb_to_lab_bit_exact_vs_cv2():
+    """Our LAB reproduces cv2's 8-bit fixed-point RGB2Lab_b exactly
+    (exhaustively verified over all 2^24 inputs offline; sampled here)."""
+    from shoeprint_image_retrieval_tpu.ops.clahe import rgb_to_lab_u8
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(rgb_to_lab_u8(img)), cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+    )
+    # boundary-heavy structured sweep: all (r, g) pairs at fixed b
+    rr, gg = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    img = np.stack([rr, gg, np.full_like(rr, 91)], -1).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(rgb_to_lab_u8(img)), cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+    )
+
+
+def test_lab_to_rgb_bit_exact_vs_cv2():
+    """Our inverse reproduces cv2's Lab2RGBinteger exactly (exhaustively
+    verified over all 2^24 inputs offline; sampled here)."""
+    from shoeprint_image_retrieval_tpu.ops.clahe import lab_u8_to_rgb
+
+    rng = np.random.default_rng(6)
+    lab = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(lab_u8_to_rgb(lab)), cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    )
+    ll, aa = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    lab = np.stack([ll, aa, np.full_like(ll, 61)], -1).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(lab_u8_to_rgb(lab)), cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    )
+
+
+def test_rgb_path_bit_exact_vs_cv2():
+    """Full RGB CLAHE path (LAB roundtrip + L-channel CLAHE) == cv2's,
+    reproducing the reference's _clahe RGB branch (network.py:199-206)."""
     rng = np.random.default_rng(3)
-    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    img = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
     lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
     l_ch, a_ch, b_ch = cv2.split(lab)
     l_eq = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(l_ch)
     ref = cv2.cvtColor(cv2.merge((l_eq, a_ch, b_ch)), cv2.COLOR_LAB2RGB)
     got = np.asarray(clahe_image(img))
-    assert got.shape == ref.shape
-    diff = np.abs(got.astype(int) - ref.astype(int))
-    # Our float LAB is within +-1 of cv2's fixed-point tables, but CLAHE's
-    # LUT slope amplifies that on a small tail of pixels. Grayscale (the
-    # datasets' actual format) is bit-exact; RGB is documented as close.
-    assert np.mean(diff) < 3.0
-    assert np.median(diff) <= 1.0
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_batched_dynamic_matches_cv2_per_image():
