@@ -8,14 +8,20 @@ Run on the build machine's tunneled TPU v5e (2026-08-16), this measured:
     XLA    bf16 4096x4096x4096:  36.5 TFLOP/s
     Pallas f32  512x1156x128 :   43.1 TFLOP/s
     Pallas bf16 512x1156x128 :   42.9-50.3 TFLOP/s (any k alignment)
+    Pallas f32  1024x1156x128:   73 TFLOP/s   (kernel-shaped, round 2)
+    Pallas f32  1024x1156x1024:  35 TFLOP/s   (wide-N, round 2)
 
-i.e. this chip delivers ~40-50 TFLOP/s at EITHER precision — bf16 buys
-nothing (a full v5e chip is spec'd at 197 bf16 TFLOP/s; the tunnel or part
-appears throttled to roughly the f32 rate). The NCC scoring kernel's dots
-are therefore f32 at no cost, and the single-chip probes/s ceiling is set
-by f32 FLOP count: ~6.2 TFLOP/probe at WVU bench scale -> ~7 probes/s
-absolute. bench.py numbers must be read against THIS ceiling, not the
-nameplate spec.
+Every shape delivers the SAME rate in f32 and bf16, and the best clean-dot
+rate (73 TF/s at the NCC kernel's own M=1024/K=1156/N=128 shape) is far
+below the 197 TF/s nameplate — while the production kernel's dot section
+itself sustains ~105 TF/s nominal (benchmarks/kernel_probe.py skip-mode
+split). Conclusions that drive the kernel design: (a) bf16 buys nothing on
+this part — the scoring path stays f32, which also keeps the
+rankings-identical contract for free; (b) delivered MXU rate is erratic and
+shape-dependent but ~invariant to precision, so the probes/s ceiling is set
+by f32 FLOP count (~5.4 TF/probe at WVU bench scale through the fused
+kernel's dot mix). bench.py numbers must be read against the measured
+~15.8 probes/s kernel-only rate (kernel_probe.py), not the nameplate spec.
 """
 
 from __future__ import annotations

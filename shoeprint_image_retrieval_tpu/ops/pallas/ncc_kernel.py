@@ -37,7 +37,11 @@ one axis at a time.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
+
+# TEMP profiling knob: comma-set of {rolls,dots,epilogue,mac} to skip
+_SKIP = set(filter(None, os.environ.get("NCC_SKIP", "").split(",")))
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +97,7 @@ def _kernel_body(
     rolls_ref,   # scratch VMEM (wk, hp, gt*wb) compacted
     corr_ref,    # scratch VMEM (n_pad, hb, gt*wb)
     slots_ref,   # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
+    rowdiff_ref,  # scratch VMEM (2*hb_pad, Wi) row box-sum pass, shared per h
 ):
     gg = pl.program_id(0)
     c = pl.program_id(1)
@@ -103,12 +108,16 @@ def _kernel_body(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # --- patch build (VMEM; rolls stay f32: Mosaic rotate is 32-bit only) --
+    # --- patch build (VMEM). pltpu.roll needs 32-bit data, so the roll runs
+    # on the f32 p0 rows and the compacted store casts to the compute dtype:
+    # in bf16 mode the rolls scratch holds bf16, halving the dot-operand
+    # VMEM traffic the y loop streams (the dots measure as operand-bound:
+    # f32 and bf16 MXU rates are identical on this part).
     padded = jnp.pad(
         p0_ref[0, 0], ((hk // 2, hk - 1 - hk // 2 + (hb_pad - hb) + 7), (0, 0))
     )
     wp = gt * ws
-    for v in range(wk):
+    for v in range(wk) if "rolls" not in _SKIP else ():
         # rolled[., x] = padded[., x + v]; windows stay inside each print's
         # ws-wide span because x_local + v <= wb - 1 + wk - 1 < ws. Stored
         # compacted to the per-print wb columns (the ws-wide scratch would
@@ -116,7 +125,7 @@ def _kernel_body(
         rolled = pltpu.roll(padded, wp - v, axis=1) if v else padded
         rolls_ref[v] = jnp.concatenate(
             [rolled[:, p * ws : p * ws + wb] for p in range(gt)], axis=1
-        )
+        ).astype(compute_dtype)
 
     # --- MXU dots straight off the rolls stack ------------------------------
     # The im2col patch matrix for output row y is exactly
@@ -131,10 +140,8 @@ def _kernel_body(
         # one aligned rolls load per 8 output rows keeps VMEM temps bounded
         # (a fully unrolled per-y loop makes Mosaic hold 40+ live slices)
         y0 = pl.multiple_of(yb * 8, 8)
-        blk = rolls_ref[:, pl.ds(y0, hk + 7), :]  # (wk, hk+7, lanes)
-        if compute_dtype != jnp.float32:
-            blk = blk.astype(compute_dtype)  # one cast per 8 rows, not per row
-        parts = []
+        blk = rolls_ref[:, pl.ds(y0, hk + 7), :]  # (wk, hk+7, lanes), dtype
+        parts = []                                # already = compute_dtype
         for dy in range(8):
             rhs = blk[:, dy : dy + hk, :].reshape(wk * hk, lanes)
             parts.append(
@@ -151,7 +158,8 @@ def _kernel_body(
     rows_max = gvalid_ref[gg * gt, 0]
     for p in range(1, gt):
         rows_max = jnp.maximum(rows_max, gvalid_ref[gg * gt + p, 0])
-    jax.lax.fori_loop(0, (rows_max + 7) // 8, y_block, None)
+    if "dots" not in _SKIP:
+        jax.lax.fori_loop(0, (rows_max + 7) // 8, y_block, None)
 
     # --- energy epilogue, deduped per distinct window size ------------------
     # 1/sqrt(local energy) depends only on the window (h, w), not on which
@@ -167,25 +175,35 @@ def _kernel_body(
     def slot_energy(si, _):
         h = slot_hw_ref[si, 0]
         w = slot_hw_ref[si, 1]
-        lo_h = top - h // 2
-        hi_h = top + (h - 1) // 2 + 1
         lo_w = top - w // 2
         hi_w = top + (w - 1) // 2 + 1
 
-        # dynamic offsets become dynamic rolls (Mosaic forbids unaligned
-        # dynamic slice starts). int1 and int2 are stacked on sublanes so
-        # one pair of sublane rolls serves both box sums: rolled[y] reads
-        # full[y + off] within each half because off + hb < he.
-        full = int12_ref[0, 0]  # (2he, wi)
-        hi_rows = pltpu.roll(full, he2 - hi_h, axis=0)
-        lo_rows = pltpu.roll(full, he2 - lo_h, axis=0)
-        rowdiff = jnp.concatenate(
-            [
-                hi_rows[:hb_pad] - lo_rows[:hb_pad],    # int1 rows
-                hi_rows[he : he + hb_pad] - lo_rows[he : he + hb_pad],  # int2
-            ],
-            axis=0,
-        )  # (2*hb_pad, wi)
+        # The row pass depends only on h. Slots arrive sorted by (h, w)
+        # (np.unique sorts rows), so consecutive slots share h in runs —
+        # recompute the two sublane rolls only when h changes (typically
+        # ~10 distinct heights serve ~75 slots at WVU batch scale).
+        prev_h = slot_hw_ref[jnp.maximum(si - 1, 0), 0]
+
+        @pl.when((si == 0) | (h != prev_h))
+        def _row_pass():
+            lo_h = top - h // 2
+            hi_h = top + (h - 1) // 2 + 1
+            # dynamic offsets become dynamic rolls (Mosaic forbids unaligned
+            # dynamic slice starts). int1 and int2 are stacked on sublanes so
+            # one pair of sublane rolls serves both box sums: rolled[y] reads
+            # full[y + off] within each half because off + hb < he.
+            full = int12_ref[0, 0]  # (2he, wi)
+            hi_rows = pltpu.roll(full, he2 - hi_h, axis=0)
+            lo_rows = pltpu.roll(full, he2 - lo_h, axis=0)
+            rowdiff_ref[:] = jnp.concatenate(
+                [
+                    hi_rows[:hb_pad] - lo_rows[:hb_pad],    # int1 rows
+                    hi_rows[he : he + hb_pad] - lo_rows[he : he + hb_pad],
+                ],
+                axis=0,
+            )  # (2*hb_pad, wi)
+
+        rowdiff = rowdiff_ref[:]
         hi = pltpu.roll(rowdiff, wi - hi_w, axis=1)
         lo = pltpu.roll(rowdiff, wi - lo_w, axis=1)
         d = hi - lo
@@ -201,7 +219,8 @@ def _kernel_body(
         )[None]
         return _
 
-    jax.lax.fori_loop(0, n_slots, slot_energy, None)
+    if "epilogue" not in _SKIP:
+        jax.lax.fori_loop(0, n_slots, slot_energy, None)
 
     # --- per-group scaled accumulation (class-major: fori over probes) ------
     # The loop body is compiled ONCE per class regardless of the probe batch
@@ -220,7 +239,8 @@ def _kernel_body(
             )
             return _
 
-        jax.lax.fori_loop(0, pb, probe_mac, None)
+        if "mac" not in _SKIP:
+            jax.lax.fori_loop(0, pb, probe_mac, None)
         start += pb * cnt
 
     # --- final per-print masked max at the last channel --------------------
@@ -343,9 +363,10 @@ def score_direct_pallas(
         out_specs=pl.BlockSpec((g_pad, n_pad), lambda gg, cc: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
-            pltpu.VMEM((wk, hb_pad + hk - 1 + 7, gt * wb), jnp.float32),
+            pltpu.VMEM((wk, hb_pad + hk - 1 + 7, gt * wb), compute_dtype),
             pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
             pltpu.VMEM((n_slots, hb_pad, gt * wb), jnp.float32),
+            pltpu.VMEM((2 * hb_pad, wi), jnp.float32),
         ],
     )
 

@@ -381,7 +381,22 @@ class Pipeline:
         g_maps = np.asarray(g_maps)[order]
         g_valid = np.asarray(g_valid)[order]
 
+        # The (gallery-block x probe-batch) loop is PIPELINED: device score
+        # rows are pulled two submissions behind the enqueue front, so the
+        # host round-trip (large over the axon tunnel) and the next batch's
+        # variant build overlap the kernel instead of serializing with it.
         out = np.zeros((len(q_maps), g_total), np.float32)
+        pending: list[tuple[int, int, int, object]] = []
+
+        def drain(limit: int) -> None:
+            while len(pending) > limit:
+                lo_d, lo_g, hi_g, dev_rows = pending.pop(0)
+                rows = np.asarray(dev_rows)
+                n_take = min(pb, len(q_maps) - lo_d)
+                out[lo_d : lo_d + n_take, lo_g:hi_g] = rows[:n_take, : hi_g - lo_g]
+                if self.verbose and hi_g == g_total:
+                    print(f"  scored {lo_d + n_take}/{len(q_maps)} queries")
+
         for b_lo in range(0, g_total, gb):
             b_hi = min(b_lo + gb, g_total)
             blk, blk_valid = g_maps[b_lo:b_hi], g_valid[b_lo:b_hi]
@@ -413,14 +428,13 @@ class Pipeline:
                 )
                 if mesh is not None:
                     packed = build_packed_j(*args[:8])
-                    rows = np.asarray(regroup_max_j(scorer_m(packed, args[8], args[9])))
+                    dev_rows = regroup_max_j(scorer_m(packed, args[8], args[9]))
                 else:
-                    rows = np.asarray(score_batch(cache, *args))
-                n_take = min(pb, len(q_maps) - lo)
-                out[lo : lo + n_take, b_lo:b_hi] = rows[:n_take, : b_hi - b_lo]
-                if self.verbose and b_hi == g_total:
-                    done = lo + n_take
-                    print(f"  scored {done}/{len(q_maps)} queries")
+                    dev_rows = score_batch(cache, *args)
+                pending.append((lo, b_lo, b_hi, dev_rows))
+                drain(2)
+            del cache  # retire this block's cache once its scores are enqueued
+        drain(0)
         return out[:, inv_order]
 
     def _score_cluster_fft(
