@@ -156,9 +156,8 @@ def main() -> None:
     # NOTE: the cache must be a jit *argument*, not a closure capture — jit
     # constant-folds closures by pulling them to host, and large device->host
     # transfers hang over the axon tunnel.
-    @jax.jit
-    def score_batch_jit(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
-                        windows, slot_hw, slot_map):
+    def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
+                    windows, slot_hw, slot_map):
         def one(maps_p, valid_p, ridx_p, rok_p, wv_p, wh_p, shw_p):
             flat = maps_p.reshape(C, hc * wc)
             rot = jnp.take(flat, ridx_p, axis=1)
@@ -197,14 +196,22 @@ def main() -> None:
         return (*cols, jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap))
 
     batches = [stack_args(lo) for lo in starts]
-    t0 = time.perf_counter()
-    np.asarray(score_batch_jit(cache, *batches[0]))  # host pull: block_until_
-    log(f"compile+warmup: {time.perf_counter() - t0:.2f}s")  # ready can return
-    # at enqueue over the axon tunnel, so timing must round-trip real bytes.
+    # ONE jit call scans every probe batch: per-call dispatch over the axon
+    # tunnel costs ~0.3s of un-overlapped RPC latency, so a Python loop of
+    # per-batch calls pays it len(batches) times.
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+    @jax.jit
+    def score_all_jit(cache_arg, stacked_args):
+        return jax.lax.map(lambda b: score_batch(cache_arg, *b), stacked_args)
 
     t0 = time.perf_counter()
-    rows = [score_batch_jit(cache, *b) for b in batches]
-    rows = [np.asarray(r) for r in rows]  # (PB, G) f32 pulls
+    np.asarray(score_all_jit(cache, stacked))  # host pull: block_until_ready
+    log(f"compile+warmup: {time.perf_counter() - t0:.2f}s")  # can return at
+    # enqueue over the axon tunnel, so timing must round-trip real bytes.
+
+    t0 = time.perf_counter()
+    rows = np.asarray(score_all_jit(cache, stacked))  # (nb, PB, G) f32
     dt = time.perf_counter() - t0
     pps = (len(batches) * PB) / dt
     log(f"{len(batches) * PB} probes x {n_var} variants x {G} prints in "
