@@ -196,9 +196,10 @@ def main() -> None:
         return (*cols, jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap))
 
     batches = [stack_args(lo) for lo in starts]
-    # ONE jit call scans every probe batch: per-call dispatch over the axon
-    # tunnel costs ~0.3s of un-overlapped RPC latency, so a Python loop of
-    # per-batch calls pays it len(batches) times.
+    # ONE jit call scans every probe batch (one warmup covers the whole
+    # sweep; timing is pure device work). Per-batch steady state decomposes
+    # as ~2.54 s kernel + ~0.32 s variant build/packing/grid streaming
+    # (measured with NCC_SKIP=dots,rolls,epilogue,mac).
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
     @jax.jit
