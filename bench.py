@@ -62,12 +62,12 @@ def main() -> None:
         g_lo, g_hi, q_lo, q_hi = 18, 24, 14, 18
         PB_DEFAULT = 2
     else:
-        G, C, Q = 300, 176, int(os.environ.get("BENCH_Q", "120"))
+        G, C, Q = 300, 176, int(os.environ.get("BENCH_Q", "144"))
         g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
-        PB_DEFAULT = 40  # N=1000 MXU rows; measured sweep: PB 20/28/40 ->
-        # 8.8/10.2/12.1 probes/s (compile+first-run 105/133/313s).
-        # Q=120 -> 3 pipelined probe batches: the per-call fixed dispatch+
-        # tunnel latency (~0.4s) amortizes instead of landing on one batch.
+        PB_DEFAULT = 48  # N=1200 MXU rows; measured sweep: PB 20/28/40/48/56
+        # -> 8.8/10.2/13.7/14.8/VMEM-OOM probes/s (the kernel's fixed
+        # per-step work amortizes over the packed row depth until the
+        # acc+corr scratch exhausts scoped VMEM). Q = 3 probe batches.
     rotations = [-15, -9, -3, 3, 9, 15, 180]
     scales = [1.02, 1.04, 1.08]
 
