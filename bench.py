@@ -5,9 +5,11 @@ BASELINE.json north star: rank probes against the full WVU2019-scale gallery
 with a precomputed HBM gallery feature cache at >= 100 probes/sec (v5e-8);
 this machine exposes ONE v5e chip, so the printed number is single-chip
 (gallery sharding scales it across a real mesh — tests/test_sharded.py).
-NOTE the chip's measured ceiling: ~45 TFLOP/s at ANY precision
-(benchmarks/mxu_probe.py) -> ~7 probes/s absolute f32 dot-bound at this
-workload's ~6.2 TFLOP/probe.
+NOTE the chip's measured behavior: delivered MXU rate is precision-
+invariant and shape-erratic (benchmarks/mxu_probe.py, kernel_probe.py);
+the fused kernel's dot section sustains ~105 TF/s nominal at this
+workload's ~5.4 TFLOP/probe, putting the kernel-only ceiling near
+16 probes/s single-chip.
 
 Workload (reference-shaped, synthetic): G gallery prints with
 EfficientNetV2_M-block-6-like feature maps (176 channels, stride-16 sizes
@@ -62,12 +64,13 @@ def main() -> None:
         g_lo, g_hi, q_lo, q_hi = 18, 24, 14, 18
         PB_DEFAULT = 2
     else:
-        G, C, Q = 300, 176, int(os.environ.get("BENCH_Q", "144"))
+        G, C, Q = 300, 176, int(os.environ.get("BENCH_Q", "168"))
         g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
-        PB_DEFAULT = 48  # N=1200 MXU rows; measured sweep: PB 20/28/40/48/56
-        # -> 8.8/10.2/13.7/14.8/VMEM-OOM probes/s (the kernel's fixed
-        # per-step work amortizes over the packed row depth until the
-        # acc+corr scratch exhausts scoped VMEM). Q = 3 probe batches.
+        PB_DEFAULT = 56  # N=1400 MXU rows; measured sweep: PB 20/28/40/48/
+        # 56/60+ -> 8.8/10.2/13.7/14.8/15.4/VMEM-OOM probes/s (the kernel's
+        # fixed per-step work amortizes over the packed row depth until the
+        # acc+corr scratch exhausts the ~127 MB scoped VMEM edge).
+        # Q = 3 probe batches.
     rotations = [-15, -9, -3, 3, 9, 15, 180]
     scales = [1.02, 1.04, 1.08]
 

@@ -387,8 +387,8 @@ def score_direct_pallas(
     )
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=min(
-            120 * 1024 * 1024,
-            scratch_bytes + block_bytes + 36 * 1024 * 1024,
+            127 * 1024 * 1024,
+            scratch_bytes + block_bytes + 42 * 1024 * 1024,
         ),
     )
     scores = pl.pallas_call(

@@ -255,15 +255,15 @@ class Pipeline:
         # n_var variants to the kernel's MXU output axis; a deep output axis
         # amortizes the kernel's per-step fixed work (patch rolls, energy
         # epilogue) over many probes — measured sweep at WVU scale:
-        # N=500/700/1000/1200 -> 8.8/10.2/13.7/14.8 probes/s (N=1400
-        # exhausts scoped VMEM). Auto targets ~1200 rows, clamped so the
-        # kernel's acc+corr VMEM scratch stays under ~64 MB.
+        # N=500/700/1000/1200/1400 -> 8.8/10.2/13.7/14.8/15.4 probes/s
+        # (N=1500+ exhausts scoped VMEM). Auto targets ~1400 rows, clamped
+        # so the kernel's acc+corr VMEM scratch stays under ~68 MB.
         gal_hb = -(-(g_maps.shape[2] - 2 * EDGE_CROP) // 8) * 8
         gal_wb = g_maps.shape[3] - 2 * EDGE_CROP
         gt = max(1, min(4, 128 // max(1, gal_wb)))
-        n_rows_max = max(64, int(64e6 / (8 * gal_hb * gt * gal_wb)))
+        n_rows_max = max(64, int(68e6 / (8 * gal_hb * gt * gal_wb)))
         pb = self.config["tpu"].get("probe_batch", 0) or max(
-            1, min(1200, n_rows_max) // max(1, n_var)
+            1, min(1400, n_rows_max) // max(1, n_var)
         )
         pb = max(1, min(len(q_maps), pb))
         layout = VariantLayout(class_counts, pb)
