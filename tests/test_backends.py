@@ -108,6 +108,15 @@ def test_probe_batch_invariance(dataset, tmp_path, direct_ranks):
     np.testing.assert_array_equal(ranks, direct_ranks)
 
 
+def test_pallas_blocked_gallery_matches_direct(dataset, tmp_path, direct_ranks):
+    """Fused kernel + tpu.gallery_block + the pipelined score drain (device
+    rows pulled behind the enqueue front) must reproduce one-shot rankings —
+    guards the out-of-order drain reassembly in engine._score_cluster."""
+    ranks = _run(dataset, tmp_path,
+                 'ncc_backend = "pallas"\ngallery_block = 3\nprobe_batch = 2')
+    np.testing.assert_array_equal(ranks, direct_ranks)
+
+
 def test_fid300_end_to_end(tmp_path):
     """Full Pipeline on an FID-300-layout dataset: label_table.csv matching
     pairs, zero-padded numeric filenames (reference dataloader.py:101-107,
