@@ -12,6 +12,8 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libingest.so ingest.cc -lpthread
 
+#include <algorithm>
+#include <cfenv>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -120,6 +122,110 @@ void resize_one(const uint8_t* src, int src_h, int src_w, int src_stride,
   }
 }
 
+// ---------------------------------------------------------------------------
+// CLAHE (contrast-limited adaptive histogram equalization), OpenCV-exact.
+//
+// Same algorithm as ops/clahe.py (grayscale, bit-exact vs cv2 incl. the
+// unguarded-border extension quirk): reflect-101 extension to the tile
+// grid, per-tile 256-bin histogram, clip + excess redistribution, LUT =
+// round-half-even(cumsum * 255/area), per-pixel bilinear interpolation of
+// the four neighboring tile LUTs at the pixel's own intensity. Float math
+// is float32 to mirror both cv2 and the jnp kernel; round-half-even via
+// nearbyintf under the default FE_TONEAREST mode.
+// ---------------------------------------------------------------------------
+
+void clahe_one(const uint8_t* src, int h, int w, float clip_limit,
+               int tiles_y, int tiles_x, uint8_t* dst) {
+  // OpenCV border quirk: any indivisible axis pads BOTH axes by
+  // tiles - size % tiles (a fully divisible axis gets a whole extra tile).
+  int pad_h = 0, pad_w = 0;
+  if (h % tiles_y != 0 || w % tiles_x != 0) {
+    pad_h = tiles_y - (h % tiles_y);
+    pad_w = tiles_x - (w % tiles_x);
+  }
+  const int eh = h + pad_h, ew = w + pad_w;
+  const int th = eh / tiles_y, tw = ew / tiles_x;
+  const int area = th * tw;
+  const int clip = std::max(1, static_cast<int>(clip_limit * area / 256.0));
+
+  // per-tile histograms over the reflect-101-extended image
+  std::vector<int> hist(static_cast<size_t>(tiles_y) * tiles_x * 256, 0);
+  for (int y = 0; y < eh; ++y) {
+    int ry = y < h ? y : 2 * (h - 1) - y;
+    if (ry < 0) ry = 0;
+    const uint8_t* row = src + static_cast<size_t>(ry) * w;
+    const int ty = std::min(y / th, tiles_y - 1);
+    int* hrow = hist.data() + static_cast<size_t>(ty) * tiles_x * 256;
+    for (int x = 0; x < ew; ++x) {
+      int rx = x < w ? x : 2 * (w - 1) - x;
+      if (rx < 0) rx = 0;
+      const int tx = std::min(x / tw, tiles_x - 1);
+      ++hrow[tx * 256 + row[rx]];
+    }
+  }
+
+  // clip + redistribute, then build LUTs (round half to even, as cv2)
+  std::vector<uint8_t> luts(static_cast<size_t>(tiles_y) * tiles_x * 256);
+  const float scale = 255.0f / static_cast<float>(area);
+  for (int t = 0; t < tiles_y * tiles_x; ++t) {
+    int* hh = hist.data() + static_cast<size_t>(t) * 256;
+    int excess = 0;
+    for (int v = 0; v < 256; ++v) {
+      if (hh[v] > clip) {
+        excess += hh[v] - clip;
+        hh[v] = clip;
+      }
+    }
+    const int batch = excess / 256;
+    const int residual = excess - batch * 256;
+    const int step = residual > 0 ? std::max(256 / residual, 1) : 256;
+    for (int v = 0; v < 256; ++v) {
+      hh[v] += batch;
+      if (residual > 0 && v % step == 0 && v / step < residual) ++hh[v];
+    }
+    uint8_t* lut = luts.data() + static_cast<size_t>(t) * 256;
+    int cum = 0;
+    for (int v = 0; v < 256; ++v) {
+      cum += hh[v];
+      const float r = nearbyintf(static_cast<float>(cum) * scale);
+      lut[v] = static_cast<uint8_t>(r < 0.0f ? 0.0f : (r > 255.0f ? 255.0f : r));
+    }
+  }
+
+  // bilinear LUT interpolation at native coordinates (f32, as the jnp path)
+  const float inv_th = 1.0f / static_cast<float>(th);
+  const float inv_tw = 1.0f / static_cast<float>(tw);
+  std::vector<int> tx1c(w), tx2c(w);
+  std::vector<float> xa(w);
+  for (int x = 0; x < w; ++x) {
+    const float txf = static_cast<float>(x) * inv_tw - 0.5f;
+    const int tx1 = static_cast<int>(std::floor(txf));
+    xa[x] = txf - static_cast<float>(tx1);
+    tx1c[x] = std::min(std::max(tx1, 0), tiles_x - 1);
+    tx2c[x] = std::min(std::max(tx1 + 1, 0), tiles_x - 1);
+  }
+  for (int y = 0; y < h; ++y) {
+    const float tyf = static_cast<float>(y) * inv_th - 0.5f;
+    const int ty1 = static_cast<int>(std::floor(tyf));
+    const float ya = tyf - static_cast<float>(ty1);
+    const int ty1c = std::min(std::max(ty1, 0), tiles_y - 1);
+    const int ty2c = std::min(std::max(ty1 + 1, 0), tiles_y - 1);
+    const uint8_t* srow = src + static_cast<size_t>(y) * w;
+    uint8_t* drow = dst + static_cast<size_t>(y) * w;
+    const uint8_t* l1 = luts.data() + static_cast<size_t>(ty1c) * tiles_x * 256;
+    const uint8_t* l2 = luts.data() + static_cast<size_t>(ty2c) * tiles_x * 256;
+    for (int x = 0; x < w; ++x) {
+      const int v = srow[x];
+      const float top = static_cast<float>(l1[tx1c[x] * 256 + v]) * (1.0f - xa[x]) +
+                        static_cast<float>(l1[tx2c[x] * 256 + v]) * xa[x];
+      const float bot = static_cast<float>(l2[tx1c[x] * 256 + v]) * (1.0f - xa[x]) +
+                        static_cast<float>(l2[tx2c[x] * 256 + v]) * xa[x];
+      const float r = nearbyintf(top * (1.0f - ya) + bot * ya);
+      drow[x] = static_cast<uint8_t>(r < 0.0f ? 0.0f : (r > 255.0f ? 255.0f : r));
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -146,6 +252,30 @@ void ingest_batch(const uint8_t** srcs, const int* src_hw, const int* crop_hw,
         ingest_crop_resize(srcs[i], src_hw[2 * i], src_hw[2 * i + 1],
                            crop_hw[2 * i], crop_hw[2 * i + 1],
                            dst_hw[2 * i], dst_hw[2 * i + 1], dsts[i]);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+}
+
+// CLAHE one grayscale image (cv2.createCLAHE(clip, (tiles_x, tiles_y))
+// .apply semantics, bit-exact — tests/test_native.py).
+void clahe_gray(const uint8_t* src, int h, int w, float clip_limit,
+                int tiles_y, int tiles_x, uint8_t* dst) {
+  clahe_one(src, h, w, clip_limit, tiles_y, tiles_x, dst);
+}
+
+// Batch CLAHE: per-image sizes in hw (h0, w0, h1, w1, ...), thread-strided.
+void clahe_batch(const uint8_t** srcs, const int* hw, float clip_limit,
+                 int tiles_y, int tiles_x, uint8_t** dsts, int n,
+                 int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    workers.emplace_back([=]() {
+      for (int i = t; i < n; i += n_threads) {
+        clahe_one(srcs[i], hw[2 * i], hw[2 * i + 1], clip_limit, tiles_y,
+                  tiles_x, dsts[i]);
       }
     });
   }

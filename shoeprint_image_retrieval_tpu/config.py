@@ -80,6 +80,12 @@ class TpuConfig(TypedDict, total=True):
             Blocks bound device memory for huge galleries (the 10k-print
             WVU-scale config): the direct cache is built and scored one
             block at a time, scores concatenated on host.
+        clahe_host: run CLAHE in the native C++ ingest path (bit-exact vs
+            both cv2 and the device kernel) instead of on device. Default
+            true: the device CLAHE's LUT gathers dominate extraction time
+            on TPU (~75% of the step), while the host pass rides the ingest
+            thread pool for free. Falls back to the device kernel when the
+            native library or a grayscale batch isn't available.
     """
 
     mesh_shape: int
@@ -91,6 +97,7 @@ class TpuConfig(TypedDict, total=True):
     profile_dir: str
     probe_batch: int
     gallery_block: int
+    clahe_host: bool
 
 
 class Config(TypedDict, total=True):
@@ -112,6 +119,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "profile_dir": "",
     "probe_batch": 0,
     "gallery_block": 0,
+    "clahe_host": True,
 }
 
 

@@ -32,8 +32,11 @@ def _load() -> ctypes.CDLL | None:
         try:
             if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC),
-                     "-lpthread"],
+                    # -ffp-contract=off: the CLAHE interpolation must round
+                    # exactly as separate f32 mult+add (FMA contraction can
+                    # flip half-way cases vs cv2/the jnp kernel)
+                    ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                     "-o", str(_SO), str(_SRC), "-lpthread"],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(str(_SO))
@@ -42,6 +45,16 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.clahe_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_float,
+                ctypes.c_int,
+                ctypes.c_int,
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.c_int,
                 ctypes.c_int,
@@ -89,4 +102,32 @@ def crop_resize_batch(
     dst_hw = (ctypes.c_int * (2 * n))(*[v for hw in out_sizes for v in hw])
 
     lib.ingest_batch(src_ptrs, src_hw, crop_hw, dst_hw, dst_ptrs, n, n_threads)
+    return dsts
+
+
+def clahe_batch(
+    images: Sequence[np.ndarray],
+    clip_limit: float,
+    tile_grid_size: tuple[int, int],
+    n_threads: int = 8,
+) -> list[np.ndarray]:
+    """CLAHE a batch of (H, W) uint8 grayscale images natively.
+
+    Bit-exact vs ``cv2.createCLAHE(clip_limit, tile_grid_size).apply`` and
+    vs the device kernel (ops/clahe.py) — tests/test_native.py. The device
+    CLAHE's LUT gathers dominate TPU extraction time, so the engine prefers
+    this host pass (tpu.clahe_host).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable (no g++?)")
+    tiles_x, tiles_y = tile_grid_size  # cv2 takes (width, height)
+    n = len(images)
+    srcs = [np.ascontiguousarray(im) for im in images]
+    dsts = [np.empty(im.shape, np.uint8) for im in srcs]
+    src_ptrs = (ctypes.c_void_p * n)(*[s.ctypes.data for s in srcs])
+    dst_ptrs = (ctypes.c_void_p * n)(*[d.ctypes.data for d in dsts])
+    hw = (ctypes.c_int * (2 * n))(*[v for s in srcs for v in s.shape])
+    lib.clahe_batch(src_ptrs, hw, ctypes.c_float(clip_limit), tiles_y,
+                    tiles_x, dst_ptrs, n, n_threads)
     return dsts

@@ -100,22 +100,49 @@ class Pipeline:
             print(f"{len(self.plans)} clusters of image sizes found.")
 
     # ------------------------------------------------------------------
-    def _model_for_block(self, block: int):
-        if block not in self._param_cache:
+    def _model_for_block(self, block: int, device_clahe: bool = True):
+        """Jitted extraction step for one truncation block.
+
+        ``device_clahe=False`` omits the on-device CLAHE stage — used when
+        the native host ingest already equalized the images (tpu.clahe_host;
+        both paths are bit-exact vs cv2, so extracted features and the
+        gallery cache are identical either way).
+        """
+        key = (block, device_clahe)
+        if key not in self._param_cache:
             features = self.spec.build().truncate(block)
             params = load_or_init_params(features, self.config["model"]["type"], self.weights_dir)
             mcfg = self.config["model"]
 
             @jax.jit
             def step(p, u8, v):
-                eq = clahe_batched_dynamic(
-                    u8, v, mcfg["clahe_clip_limit"], tuple(mcfg["clahe_tile_grid_size"])
-                )
-                x = normalize_batch(eq, v, self.spec.mean, self.spec.std)
+                if device_clahe:
+                    u8 = clahe_batched_dynamic(
+                        u8, v, mcfg["clahe_clip_limit"],
+                        tuple(mcfg["clahe_tile_grid_size"]),
+                    )
+                x = normalize_batch(u8, v, self.spec.mean, self.spec.std)
                 return features.apply(p, x, v)
 
-            self._param_cache[block] = (features, params, step)
-        return self._param_cache[block]
+            self._param_cache[key] = (features, params, step)
+        return self._param_cache[key]
+
+    def _host_clahe(self, images: Sequence[np.ndarray]) -> list[np.ndarray] | None:
+        """Equalize on host via the native C++ path when configured and
+        applicable (grayscale uint8 + library available); None = use device."""
+        from ..data import native_ingest
+
+        if not self.config["tpu"].get("clahe_host", True):
+            return None
+        if not native_ingest.available():
+            return None
+        if not all(im.ndim == 2 and im.dtype == np.uint8 for im in images):
+            return None
+        mcfg = self.config["model"]
+        return native_ingest.clahe_batch(
+            images, mcfg["clahe_clip_limit"], tuple(mcfg["clahe_tile_grid_size"]),
+            n_threads=self.config["dataset"]["n_processes"],
+        )
 
     def _extract(self, step, params, images: Sequence[np.ndarray]):
         """Batched masked extraction -> (maps (B,C,Hf,Wf), valid (B,2)) numpy.
@@ -519,7 +546,16 @@ class Pipeline:
                     plan.scale, crop, n_threads,
                 )
             )
-        _, params, step = self._model_for_block(plan.block)
+            # host CLAHE rides the ingest stage (tpu.clahe_host): the native
+            # C++ pass is bit-exact vs the device kernel, whose LUT gathers
+            # otherwise dominate TPU extraction time
+            q_eq = self._host_clahe(q_imgs)
+            g_eq = self._host_clahe(g_imgs) if g_imgs is not None else None
+            host_eq = q_eq is not None and (g_imgs is None or g_eq is not None)
+            if host_eq:
+                q_imgs = q_eq
+                g_imgs = g_eq if g_eq is not None else g_imgs
+        _, params, step = self._model_for_block(plan.block, device_clahe=not host_eq)
         with stage_timer("extract-query", self.verbose):
             q_maps, q_valid = self._extract(step, params, q_imgs)
         with stage_timer("extract-gallery", self.verbose):

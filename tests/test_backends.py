@@ -108,6 +108,21 @@ def test_probe_batch_invariance(dataset, tmp_path, direct_ranks):
     np.testing.assert_array_equal(ranks, direct_ranks)
 
 
+def test_host_clahe_matches_device_clahe(dataset, tmp_path, direct_ranks):
+    """tpu.clahe_host (native C++ CLAHE riding ingest) must reproduce the
+    device-kernel path exactly: both are cv2-bit-exact, so extracted
+    features — and therefore rankings — are identical."""
+    from shoeprint_image_retrieval_tpu.data import native_ingest
+
+    if not native_ingest.available():
+        pytest.skip("native ingest library unavailable")
+    # direct_ranks fixture runs with clahe_host default (True); force the
+    # device path and compare
+    ranks = _run(dataset, tmp_path,
+                 'ncc_backend = "direct"\nclahe_host = false')
+    np.testing.assert_array_equal(ranks, direct_ranks)
+
+
 def test_pallas_blocked_gallery_matches_direct(dataset, tmp_path, direct_ranks):
     """Fused kernel + tpu.gallery_block + the pipelined score drain (device
     rows pulled behind the enqueue front) must reproduce one-shot rankings —

@@ -74,3 +74,42 @@ def test_loader_native_path_matches_pil_path(tmp_path):
     b = load_images(tmp_path, files, 0.7, (0.1, 0.2), 2, use_native=False)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_native_clahe_bit_exact_vs_cv2():
+    """C++ CLAHE == cv2.createCLAHE(...).apply on random sizes/clips/grids."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    imgs, params, wants = [], [], []
+    for _ in range(10):
+        h, w = int(rng.integers(16, 300)), int(rng.integers(16, 300))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        if rng.random() < 0.4:
+            img[: h // 2, : w // 2] = 200  # flat block -> heavy clipping
+        clip = float(rng.choice([1.0, 2.0, 4.0, 40.0]))
+        tx, ty = int(rng.integers(2, 10)), int(rng.integers(2, 10))
+        imgs.append(img)
+        params.append((clip, (tx, ty)))
+        wants.append(
+            cv2.createCLAHE(clipLimit=clip, tileGridSize=(tx, ty)).apply(img)
+        )
+    for img, (clip, grid), want in zip(imgs, params, wants):
+        got = native_ingest.clahe_batch([img], clip, grid, n_threads=2)[0]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_clahe_matches_device_kernel():
+    """C++ CLAHE == the jnp device kernel (both are cv2-bit-exact, so the
+    engine may substitute one for the other freely — tpu.clahe_host)."""
+    from shoeprint_image_retrieval_tpu.ops.clahe import clahe_u8
+
+    rng = np.random.default_rng(4)
+    batch = [
+        rng.integers(0, 256, size=(int(rng.integers(30, 90)), int(rng.integers(30, 90))),
+                     dtype=np.uint8)
+        for _ in range(6)
+    ]
+    got = native_ingest.clahe_batch(batch, 2.0, (8, 8), n_threads=3)
+    for g, img in zip(got, batch):
+        np.testing.assert_array_equal(g, np.asarray(clahe_u8(img, 2.0, (8, 8))))
