@@ -40,7 +40,11 @@ import functools
 import os
 from typing import Sequence
 
-# TEMP profiling knob: comma-set of {rolls,dots,epilogue,mac} to skip
+# Profiling knob (benchmarks/kernel_probe.py, BASELINE.md kernel time
+# split): NCC_SKIP is a comma-set of kernel sections to elide —
+# {rolls,dots,epilogue,mac} — so each section's wall share can be measured
+# by difference. Results are garbage when any section is skipped; never
+# set outside profiling runs.
 _SKIP = set(filter(None, os.environ.get("NCC_SKIP", "").split(",")))
 
 import jax
