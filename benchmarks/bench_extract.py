@@ -15,7 +15,7 @@ All timings consume a scalar on device — pulling feature maps over the
 axon tunnel would otherwise dominate and understate throughput (round-2
 finding; the original version of this bench did exactly that).
 
-    python benchmarks/bench_extract.py [--batch 8] [--steps 6] [--quick]
+    python benchmarks/bench_extract.py [--batch 32] [--steps 6] [--quick]
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--canvas", type=int, default=704)
     ap.add_argument("--block", type=int, default=6)

@@ -66,7 +66,11 @@ class TpuConfig(TypedDict, total=True):
             rotated-but-unscaled variants are never scored (reference
             similarity.py:321-353 composition quirk); ``"full"`` scores the
             corrected full cross product {originals ∪ rotations} × ({1} ∪ scales).
-        extraction_batch: max images per batched feature-extraction step.
+        extraction_batch: max images per batched feature-extraction step
+            (default 32: conv GEMM M-rows scale with the batch — measured
+            91/97/138 backbone img/s at batch 8/16/32 on 704 px canvases;
+            chunks keep ONE compiled shape, so small clusters pad rather
+            than recompile).
         ncc_backend: ``"auto"`` (fused Pallas kernel on TPU, XLA direct conv
             path on CPU), ``"pallas"``, ``"direct"``, or ``"fft"`` (the
             batched-FFT path, ops/ncc.py — useful on CPU-class hosts).
@@ -114,7 +118,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "precision": "float32",
     "cache_dir": "",
     "variant_mode": "reference",
-    "extraction_batch": 8,
+    "extraction_batch": 32,
     "ncc_backend": "auto",
     "profile_dir": "",
     "probe_batch": 0,
