@@ -55,8 +55,12 @@ class TpuConfig(TypedDict, total=True):
     Keys:
         mesh_shape: devices along the ``gallery`` sharding axis; 0 = all
             available devices.
-        precision: ``"float32"`` (default; needed for ranking-stable NCC) or
-            ``"bfloat16"`` for backbone convs.
+        precision: ``"float32"`` (default) keeps reference-grade HIGHEST
+            conv precision for extraction AND f32 scoring dots;
+            ``"bfloat16"`` switches backbone convs to single-pass bf16
+            multiplies (~2e-3 relative feature deviation, ~1.6x faster
+            extraction convs) and the scoring kernel's dots to bf16 inputs
+            (measured no faster on this part — see BASELINE.md).
         cache_dir: on-disk spill directory for the gallery feature cache
             ("" disables spilling). The reference gestured at this with its
             gitignored ``Memmaps/``/``*.npy`` entries (reference .gitignore:3-8)

@@ -45,6 +45,22 @@ def conv_out_size(size, kernel: int, stride: int, padding: int):
     return (size + 2 * padding - kernel) // stride + 1
 
 
+# Conv MXU precision, set from tpu.precision by the engine before tracing:
+# "float32" -> HIGHEST (reference-grade, torch-parity <=1e-4);
+# "bfloat16" -> DEFAULT (single-pass bf16 multiplies, ~2e-3 relative
+# feature deviation, measured ~1.6x faster extraction convs on v5e —
+# ranking-stable in practice but outside the strict parity contract).
+_CONV_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_conv_precision(name: str) -> None:
+    """Map a ``tpu.precision`` string onto the conv MXU precision."""
+    global _CONV_PRECISION
+    _CONV_PRECISION = (
+        jax.lax.Precision.DEFAULT if name == "bfloat16" else jax.lax.Precision.HIGHEST
+    )
+
+
 def valid_mask(x: jnp.ndarray, valid_hw: jnp.ndarray) -> jnp.ndarray:
     """(B, 1, H, W) float mask from per-sample valid sizes (B, 2)."""
     h, w = x.shape[-2], x.shape[-1]
@@ -75,7 +91,7 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_CONV_PRECISION,
     )
     if bias is not None:
         y = y + bias[None, :, None, None]

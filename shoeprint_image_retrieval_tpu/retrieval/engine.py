@@ -110,6 +110,12 @@ class Pipeline:
         """
         key = (block, device_clahe)
         if key not in self._param_cache:
+            from ..models.layers import set_conv_precision
+
+            # tpu.precision="bfloat16": single-pass bf16 conv multiplies for
+            # extraction (~2e-3 relative feature deviation; the strict
+            # default keeps torch-parity-grade HIGHEST convs)
+            set_conv_precision(self.config["tpu"].get("precision", "float32"))
             features = self.spec.build().truncate(block)
             params = load_or_init_params(features, self.config["model"]["type"], self.weights_dir)
             mcfg = self.config["model"]

@@ -165,3 +165,13 @@ def test_fid300_end_to_end(tmp_path):
     ranks = np.concatenate([o.ranks for o in outs])
     # queries are clean crops of their true match: rank 1 expected
     assert (ranks == 1).all(), ranks
+
+
+def test_bfloat16_precision_mode_runs(dataset, tmp_path, direct_ranks):
+    """tpu.precision="bfloat16" (bf16 backbone convs + bf16 scoring dots)
+    must run end-to-end; on the CPU test mesh precision hints are no-ops so
+    rankings equal the f32 path exactly (on TPU the deviation is ~2e-3 in
+    features, documented as outside the strict parity contract)."""
+    ranks = _run(dataset, tmp_path,
+                 'ncc_backend = "direct"\nprecision = "bfloat16"')
+    np.testing.assert_array_equal(ranks, direct_ranks)
