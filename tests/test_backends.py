@@ -175,3 +175,40 @@ def test_bfloat16_precision_mode_runs(dataset, tmp_path, direct_ranks):
     ranks = _run(dataset, tmp_path,
                  'ncc_backend = "direct"\nprecision = "bfloat16"')
     np.testing.assert_array_equal(ranks, direct_ranks)
+
+
+def test_variant_mode_full_scores_rotated_unscaled(tmp_path):
+    """The reference composition DROPS rotated-but-unscaled variants when
+    both sweeps are set (reference similarity.py:321-353); variant_mode
+    "full" scores them. A query that matches its print only under rotation
+    (not under the configured wrong scale) must therefore rank 1st in
+    "full" mode and strictly worse in "reference" mode."""
+    from PIL import Image as PILImage
+
+    root = tmp_path / "rotds"
+    (root / "Gallery").mkdir(parents=True)
+    (root / "Query").mkdir()
+    rng = np.random.default_rng(11)
+    prints = {}
+    for gid in range(1, 7):
+        img = rng.integers(30, 220, size=(72, 72), dtype=np.uint8)
+        PILImage.fromarray(img).save(root / "Gallery" / f"{gid}_1.png")
+        prints[gid] = img
+    # query = crop of print 1 rotated by -9 deg: matches under rotation 9,
+    # at scale 1.0 only
+    src = PILImage.fromarray(prints[1][8:64, 8:64])
+    rot = src.rotate(-9, resample=PILImage.Resampling.NEAREST)
+    PILImage.fromarray(np.asarray(rot)[8:48, 8:48]).save(root / "Query" / "1_q0.png")
+
+    ranks = {}
+    for mode in ("full", "reference"):
+        cfg_path = tmp_path / f"run_{mode}.toml"
+        cfg_path.write_text(
+            RUN_TOML.format(dir=str(root), extra=f'variant_mode = "{mode}"')
+            .replace("rotations = [9, 180]", "rotations = [9]")
+            .replace("scales = [1.04]", "scales = [1.6]")
+        )
+        pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+        ranks[mode] = np.concatenate([o.ranks for o in pipe.run()])
+    assert ranks["full"][0] == 1, ranks
+    assert ranks["reference"][0] >= ranks["full"][0], ranks
