@@ -212,3 +212,33 @@ def test_variant_mode_full_scores_rotated_unscaled(tmp_path):
         ranks[mode] = np.concatenate([o.ranks for o in pipe.run()])
     assert ranks["full"][0] == 1, ranks
     assert ranks["reference"][0] >= ranks["full"][0], ranks
+
+
+def test_wvu2019_end_to_end(tmp_path):
+    """Full Pipeline on a WVU2019-layout dataset: ids are the first three
+    filename characters (reference dataloader.py:247-248), many queries map
+    to one gallery print by id lookup."""
+    from PIL import Image as PILImage
+
+    root = tmp_path / "wvu"
+    (root / "Gallery").mkdir(parents=True)
+    (root / "Query").mkdir()
+    rng = np.random.default_rng(5)
+    prints = {}
+    for gid in range(1, 6):
+        img = rng.integers(30, 220, size=(64, 58), dtype=np.uint8)
+        PILImage.fromarray(img).save(root / "Gallery" / f"{gid:03d}_ref.png")
+        prints[gid] = img
+    for gid, qi in [(2, 0), (4, 0), (4, 1)]:  # print 4: two probes
+        crop = prints[gid][4:46, 4:42]
+        PILImage.fromarray(crop).save(root / "Query" / f"{gid:03d}_probe_{qi}.png")
+
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        RUN_TOML.format(dir=str(root), extra='ncc_backend = "direct"').replace(
+            'type = "Impress"', 'type = "WVU2019"'
+        )
+    )
+    pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+    ranks = np.concatenate([o.ranks for o in pipe.run()])
+    assert (ranks == 1).all(), ranks
