@@ -20,11 +20,10 @@ omitted.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 
 from . import layers as L
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
 
 from . import layers as L
 from .efficientnet import Features

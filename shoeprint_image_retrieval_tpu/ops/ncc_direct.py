@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxsum import box_sum_same, integral_image
-from .ncc import EDGE_CROP, _dynamic_mask, _masked_demean
+from .ncc import EDGE_CROP, _masked_demean
 
 
 class DirectGalleryCache(NamedTuple):

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from ..ops.ncc import GalleryCache
 
 GALLERY_AXIS = "gallery"
 

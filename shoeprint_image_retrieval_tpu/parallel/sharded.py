@@ -14,7 +14,6 @@ with rankings identical (tested in tests/test_sharded.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

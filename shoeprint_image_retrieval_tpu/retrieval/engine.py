@@ -21,7 +21,6 @@ many distinct image sizes it contains.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Sequence
