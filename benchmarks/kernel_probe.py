@@ -37,7 +37,7 @@ def main() -> None:
 
     G, C = 300, 176
     g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
-    PB = int(os.environ.get("PB", "40"))
+    PB = int(os.environ.get("PB", "56"))
     n_var = 25
     N = PB * n_var
 
