@@ -83,7 +83,7 @@ class TpuConfig(TypedDict, total=True):
             no profiling at all — SURVEY.md section 5).
         probe_batch: probes scored per jitted scoring call; 0 = auto (size
             the batch so the variant stack fills the scoring kernel's MXU
-            output axis with ~512 rows).
+            output axis with ~1400 rows, the scoped-VMEM feasibility edge).
         gallery_block: gallery prints per scoring pass; 0 = all at once.
             Blocks bound device memory for huge galleries (the 10k-print
             WVU-scale config): the direct cache is built and scored one

@@ -389,10 +389,13 @@ def score_direct_pallas(
         + 2 * 2 * he * wi            # int12 block
         + g_pad * n_pad              # resident output block
     )
+    # 46 MB temporaries headroom: Mosaic's stack need at N=1400 measured
+    # ~39-44 MB beyond scratch+blocks (a short estimate OOMs the scoped
+    # vmem stack at compile time); the 127 MB cap is the part's edge.
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=min(
             127 * 1024 * 1024,
-            scratch_bytes + block_bytes + 42 * 1024 * 1024,
+            scratch_bytes + block_bytes + 46 * 1024 * 1024,
         ),
     )
     scores = pl.pallas_call(
