@@ -7,6 +7,11 @@ Pallas scoring call, with an exact dynamic-FLOP count (the kernel's y-row
 bound skips dot rows past each lane-packed group's tallest print), so the
 delivered TFLOP/s of the hot dots can be read directly and compared
 against the MXU microbenchmark (mxu_probe.py).
+
+Section timing: NCC_SKIP (with NCC_SKIP_ACK=1) elides kernel sections by
+name — {rolls, epilogue, gather, dots} (the round-2 "mac" pass no longer
+exists: the scaled accumulation is fused into the dot y-loop) — so each
+section's wall share can be measured by difference.
 """
 
 from __future__ import annotations
@@ -37,11 +42,12 @@ def main() -> None:
 
     G, C = 300, 176
     g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
-    # NOTE: the probe materializes the packed kernel stack + the kernel's
-    # relayout copies as standalone HBM arrays (bench.py fuses them into one
-    # graph instead); PB=56 exhausts HBM here even though bench runs it fine,
-    # so the standalone probe defaults to PB=40.
+    # The raw template stack is freed before scoring and the fold is its own
+    # jit, so deep probe batches fit HBM here (round 2's standalone probe
+    # OOMed at PB=56; the fused kernel also no longer carries a corr
+    # scratch, so the VMEM edge itself moved — see auto_probe_rows).
     PB = int(os.environ.get("PB", "40"))
+    DTYPES = os.environ.get("DTYPES", "f32,bf16").split(",")
     n_var = 25
     N = PB * n_var
 
@@ -66,9 +72,22 @@ def main() -> None:
     for i, (h, w) in enumerate(q_sizes):
         tmpl[i, :, :h, :w] = rng.normal(size=(C, h, w)).astype(np.float32)
     fold = jax.vmap(fold_template, in_axes=(0, 0, None))
-    kernels = jax.jit(lambda t, v: fold(t, v, kernel_hw))(
-        jnp.asarray(tmpl), jnp.asarray(q_sizes)
-    )
+    fold_j = jax.jit(lambda t, v: fold(t, v, kernel_hw))
+    # fold in equal chunks (one compiled shape) and free the raw template
+    # stack: at deep PB the raw (N, C, tc, tc) stack + folded kernels
+    # together would crowd HBM
+    CHUNK = N // -(-N // 256)
+    chunks = []
+    for i in range(0, N, CHUNK):
+        t_c, v_c = tmpl[i : i + CHUNK], q_sizes[i : i + CHUNK]
+        pad = CHUNK - len(t_c)
+        if pad:
+            t_c = np.concatenate([t_c, t_c[:pad]])
+            v_c = np.concatenate([v_c, v_c[:pad]])
+        out = jax.block_until_ready(fold_j(jnp.asarray(t_c), jnp.asarray(v_c)))
+        chunks.append(out[: CHUNK - pad] if pad else out)
+    kernels = jnp.concatenate(chunks)
+    del tmpl, chunks
     layout = VariantLayout((n_var,), PB)
     wins = (q_sizes[: layout.n_groups] - 4).astype(np.int32)
     uniq, inv = np.unique(wins, axis=0, return_inverse=True)
@@ -95,6 +114,8 @@ def main() -> None:
           f"({flops/PB/1e12:.3f} TF/probe)", flush=True)
 
     for name, dt_ in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        if name not in DTYPES:
+            continue
         f = jax.jit(
             lambda c, p, sh, sm, _dt=dt_: score_direct_pallas(
                 c, p, true_channels=C, layout=layout,

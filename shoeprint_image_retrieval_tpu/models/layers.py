@@ -35,6 +35,9 @@ padding so XLA lowers them onto the MXU; f32 accumulation via
 
 from __future__ import annotations
 
+import contextvars
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,20 +48,33 @@ def conv_out_size(size, kernel: int, stride: int, padding: int):
     return (size + 2 * padding - kernel) // stride + 1
 
 
-# Conv MXU precision, set from tpu.precision by the engine before tracing:
+# Conv MXU precision, selected by tpu.precision:
 # "float32" -> HIGHEST (reference-grade, torch-parity <=1e-4);
 # "bfloat16" -> DEFAULT (single-pass bf16 multiplies, ~2e-3 relative
 # feature deviation, measured ~1.6x faster extraction convs on v5e —
 # ranking-stable in practice but outside the strict parity contract).
-_CONV_PRECISION = jax.lax.Precision.HIGHEST
+#
+# Held in a ContextVar, not a module global: ``conv2d`` reads it at
+# jit-TRACE time, so the engine enters :func:`conv_precision` INSIDE the
+# jitted step body — every trace (including shape-driven retraces long
+# after construction) then binds the precision of ITS OWN pipeline, and
+# two Pipelines with different tpu.precision can coexist in one process.
+_CONV_PRECISION: contextvars.ContextVar[jax.lax.Precision] = contextvars.ContextVar(
+    "conv_precision", default=jax.lax.Precision.HIGHEST
+)
 
 
-def set_conv_precision(name: str) -> None:
-    """Map a ``tpu.precision`` string onto the conv MXU precision."""
-    global _CONV_PRECISION
-    _CONV_PRECISION = (
+@contextmanager
+def conv_precision(name: str):
+    """Bind the conv MXU precision for ops traced within the context."""
+    prec = (
         jax.lax.Precision.DEFAULT if name == "bfloat16" else jax.lax.Precision.HIGHEST
     )
+    token = _CONV_PRECISION.set(prec)
+    try:
+        yield
+    finally:
+        _CONV_PRECISION.reset(token)
 
 
 def valid_mask(x: jnp.ndarray, valid_hw: jnp.ndarray) -> jnp.ndarray:
@@ -91,7 +107,7 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
-        precision=_CONV_PRECISION,
+        precision=_CONV_PRECISION.get(),
     )
     if bias is not None:
         y = y + bias[None, :, None, None]

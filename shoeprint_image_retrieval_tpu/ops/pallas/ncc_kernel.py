@@ -15,14 +15,21 @@ grid = (G / GT, C), sequential; each step handles GT prints x 1 channel:
 2. **Patch build** (VMEM only): the vertically padded packed canvas is
    lane-rolled once per tap column; tap-row-blocked block copies assemble
    the im2col patch stack.
-3. **MXU dots**: per output row, ``kernels (N, u_blk*wk) @ patches`` with
-   every variant of every probe in the batch on the N axis.
-4. **Energy epilogue**: per window-size group, box sums come from packed,
-   edge-extended integral images via dynamic sublane slices + dynamic
-   lane-rolls (clip semantics baked into the extension); ``1/sqrt(energy)``
-   scales the group's rows into a VMEM accumulator that persists across the
-   C grid steps.
-5. At the last channel step: per-print masked max over valid positions,
+3. **Energy epilogue**: per DISTINCT window size (slot), box sums come from
+   packed, edge-extended integral images via dynamic sublane slices +
+   dynamic lane-rolls (clip semantics baked into the extension) ->
+   per-slot ``1/sqrt(energy)`` maps.
+4. **einv gather**: one block copy per group expands the slot maps to a
+   per-group scratch, so the dot loop's scaled accumulation is pure
+   vector FMAs with static class offsets (no per-probe dynamic slicing).
+5. **Fused MXU dots + accumulate**: per 8-row output block,
+   ``kernels (N, u_blk*wk) @ patches`` with every variant of every probe
+   on the N axis, immediately scaled by the group's einv rows and added
+   into the cross-channel VMEM accumulator — the correlation tensor is
+   never materialized (round 2 stored a full (N, Hb, lanes) corr scratch
+   and re-read it in a per-probe mac pass: +34 MB VMEM and ~2x the
+   accumulate traffic).
+6. At the last channel step: per-print masked max over valid positions,
    ``/ C`` (reference similarity.py:106-108), one (N,) row per print to HBM.
 
 HBM traffic per probe-batch is the cache + kernel reads (~30 GB at WVU
@@ -43,9 +50,26 @@ from typing import Sequence
 # Profiling knob (benchmarks/kernel_probe.py, BASELINE.md kernel time
 # split): NCC_SKIP is a comma-set of kernel sections to elide —
 # {rolls,dots,epilogue,mac} — so each section's wall share can be measured
-# by difference. Results are garbage when any section is skipped; never
-# set outside profiling runs.
+# by difference. Results are garbage when any section is skipped, so a
+# stray NCC_SKIP in a job environment must never silently corrupt real
+# runs: it is refused unless NCC_SKIP_ACK=1 explicitly acknowledges a
+# profiling session, and even then a loud stderr banner marks every import.
 _SKIP = set(filter(None, os.environ.get("NCC_SKIP", "").split(",")))
+if _SKIP:
+    if os.environ.get("NCC_SKIP_ACK") != "1":
+        raise RuntimeError(
+            f"NCC_SKIP={sorted(_SKIP)} would elide kernel sections and produce "
+            "garbage scores. This is a profiling-only knob: set NCC_SKIP_ACK=1 "
+            "to acknowledge, or unset NCC_SKIP."
+        )
+    import sys as _sys
+
+    print(
+        f"*** NCC_SKIP={sorted(_SKIP)}: kernel sections ELIDED — scores are "
+        "garbage (profiling mode) ***",
+        file=_sys.stderr,
+        flush=True,
+    )
 
 import jax
 import jax.numpy as jnp
@@ -99,7 +123,7 @@ def _kernel_body(
     out_ref,     # VMEM (G_pad, n_pad) — full scores block
     acc_ref,     # scratch VMEM (n_pad, hb, gt*wb)
     rolls_ref,   # scratch VMEM (wk, hp, gt*wb) compacted
-    corr_ref,    # scratch VMEM (n_pad, hb, gt*wb)
+    einv_ref,    # scratch VMEM (n_groups, hb_pad, gt*wb) per-group 1/sqrt(E)
     slots_ref,   # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
     rowdiff_ref,  # scratch VMEM (2*hb_pad, Wi) row box-sum pass, shared per h
 ):
@@ -131,46 +155,12 @@ def _kernel_body(
             [rolled[:, p * ws : p * ws + wb] for p in range(gt)], axis=1
         ).astype(compute_dtype)
 
-    # --- MXU dots straight off the rolls stack ------------------------------
-    # The im2col patch matrix for output row y is exactly
-    # rolls[:, y : y + hk, :] collapsed over its leading two dims (a
-    # layout-preserving reshape: lanes untouched) — so the dot streams the
-    # rolls scratch directly and no patch matrix is ever materialized.
-    # Kernels are pre-laid out host-side as (v, u)-major to match.
-    kern = kern_ref[0]  # (n_pad, wk*hk), (v, u)-major taps
-    lanes = rolls_ref.shape[-1]
-
-    def y_block(yb, _):
-        # one aligned rolls load per 8 output rows keeps VMEM temps bounded
-        # (a fully unrolled per-y loop makes Mosaic hold 40+ live slices)
-        y0 = pl.multiple_of(yb * 8, 8)
-        blk = rolls_ref[:, pl.ds(y0, hk + 7), :]  # (wk, hk+7, lanes), dtype
-        parts = []                                # already = compute_dtype
-        for dy in range(8):
-            rhs = blk[:, dy : dy + hk, :].reshape(wk * hk, lanes)
-            parts.append(
-                jnp.dot(kern, rhs, preferred_element_type=jnp.float32)
-            )
-        corr_ref[:, pl.ds(y0, 8), :] = jnp.stack(parts, axis=1)
-        return _
-
-    # dynamic y bound: output rows past this step's tallest print are never
-    # read (the final max masks per print's valid rows; rows the loop skips
-    # hold stale corr values that only land in masked-out positions) — so
-    # their MXU dots are skipped outright. Pays when the caller sorts the
-    # gallery by height so lane-packed prints share heights.
-    rows_max = gvalid_ref[gg * gt, 0]
-    for p in range(1, gt):
-        rows_max = jnp.maximum(rows_max, gvalid_ref[gg * gt + p, 0])
-    if "dots" not in _SKIP:
-        jax.lax.fori_loop(0, (rows_max + 7) // 8, y_block, None)
-
     # --- energy epilogue, deduped per distinct window size ------------------
     # 1/sqrt(local energy) depends only on the window (h, w), not on which
     # group/variant uses it — real probe batches repeat sizes heavily (all
     # rotations of a probe, equal-sized probes, equal scaled sizes), so the
-    # box-sum work runs once per SLOT (distinct size) and the per-group pass
-    # is a cheap multiply-accumulate via a slot lookup.
+    # box-sum work runs once per SLOT (distinct size). Runs BEFORE the dots:
+    # the dot loop consumes the expanded per-group maps directly.
     wi = int12_ref.shape[-1]  # 128-aligned packed integral width
     he2 = int12_ref.shape[-2]  # 2*he: int1 stacked over int2
     he = he2 // 2
@@ -226,26 +216,69 @@ def _kernel_body(
     if "epilogue" not in _SKIP:
         jax.lax.fori_loop(0, n_slots, slot_energy, None)
 
-    # --- per-group scaled accumulation (class-major: fori over probes) ------
-    # The loop body is compiled ONCE per class regardless of the probe batch
-    # size (the round-1 Python-unrolled per-group epilogue made Mosaic
-    # compile time scale with the group count and overflowed scoped VMEM).
-    start = 0
-    for ci, cnt in enumerate(class_counts):
+    # --- einv gather: expand slot maps to per-group rows --------------------
+    # One full-block copy per group (slots_ref dynamic read -> einv_ref
+    # static-stride write). This turns the dot loop's scaled accumulation
+    # into pure vector FMAs with STATIC class offsets — round 2's per-probe
+    # mac pass (dynamic acc/corr slices, 4*pb tiny read-modify-writes per
+    # channel) measured ~14% of kernel time; the expansion is ~einv's size
+    # in traffic, ~6x less.
+    n_groups = einv_ref.shape[0]
 
-        def probe_mac(p, _, cls_start=start, cnt=cnt, ci=ci):
-            gi = ci * pb + p
-            inv_e = slots_ref[smap_ref[gi]]  # dynamic leading-axis read
-            row0 = cls_start + p * cnt       # dynamic leading-axis slice
-            acc_ref[pl.ds(row0, cnt)] = (
-                acc_ref[pl.ds(row0, cnt)]
-                + corr_ref[pl.ds(row0, cnt)] * inv_e[None]
+    def gather_one(gi, _):
+        einv_ref[pl.ds(gi, 1)] = slots_ref[pl.ds(smap_ref[gi], 1)]
+        return _
+
+    if "gather" not in _SKIP:
+        jax.lax.fori_loop(0, n_groups, gather_one, None)
+
+    # --- fused MXU dots + scaled accumulation -------------------------------
+    # The im2col patch matrix for output row y is exactly
+    # rolls[:, y : y + hk, :] collapsed over its leading two dims (a
+    # layout-preserving reshape: lanes untouched) — so the dot streams the
+    # rolls scratch directly and no patch matrix is ever materialized.
+    # Kernels are pre-laid out host-side as (v, u)-major to match. Each
+    # 8-row dot block is immediately scaled by its group's einv rows and
+    # accumulated: the correlation tensor never exists in memory.
+    kern = kern_ref[0]  # (n_pad, wk*hk), (v, u)-major taps
+    lanes = rolls_ref.shape[-1]
+
+    def y_block(yb, _):
+        # one aligned rolls load per 8 output rows keeps VMEM temps bounded
+        # (a fully unrolled per-y loop makes Mosaic hold 40+ live slices)
+        y0 = pl.multiple_of(yb * 8, 8)
+        blk = rolls_ref[:, pl.ds(y0, hk + 7), :]  # (wk, hk+7, lanes), dtype
+        parts = []                                # already = compute_dtype
+        for dy in range(8):
+            rhs = blk[:, dy : dy + hk, :].reshape(wk * hk, lanes)
+            parts.append(
+                jnp.dot(kern, rhs, preferred_element_type=jnp.float32)
             )
-            return _
+        corr = jnp.stack(parts, axis=1)  # (n_pad, 8, lanes) in registers
+        # per-class FMA: class offsets are static; leading-axis reshapes
+        # are layout-preserving (sublane/lane dims untouched)
+        start = 0
+        for ci, cnt in enumerate(class_counts):
+            n_cls = pb * cnt
+            slab = corr[start : start + n_cls].reshape(pb, cnt, 8, lanes)
+            ei = einv_ref[ci * pb : (ci + 1) * pb, pl.ds(y0, 8), :]
+            cur = acc_ref[start : start + n_cls, pl.ds(y0, 8), :]
+            acc_ref[start : start + n_cls, pl.ds(y0, 8), :] = (
+                cur + (slab * ei[:, None]).reshape(n_cls, 8, lanes)
+            )
+            start += n_cls
+        return _
 
-        if "mac" not in _SKIP:
-            jax.lax.fori_loop(0, pb, probe_mac, None)
-        start += pb * cnt
+    # dynamic y bound: output rows past this step's tallest print are never
+    # read (the final max masks per print's valid rows; rows the loop skips
+    # keep their prior acc values, which only land in masked-out positions)
+    # — so their MXU dots are skipped outright. Pays when the caller sorts
+    # the gallery by height so lane-packed prints share heights.
+    rows_max = gvalid_ref[gg * gt, 0]
+    for p in range(1, gt):
+        rows_max = jnp.maximum(rows_max, gvalid_ref[gg * gt + p, 0])
+    if "dots" not in _SKIP:
+        jax.lax.fori_loop(0, (rows_max + 7) // 8, y_block, None)
 
     # --- final per-print masked max at the last channel --------------------
     @pl.when(c == n_c - 1)
@@ -260,6 +293,107 @@ def _kernel_body(
             )
             # chained single-axis maxes: Mosaic miscompiles axis=(1, 2)
             out_ref[gidx, :] = jnp.max(jnp.max(masked, axis=2), axis=1) / true_channels
+
+
+# ---------------------------------------------------------------------------
+# VMEM budgeting — derived from the device, not baked-in magic numbers.
+# ---------------------------------------------------------------------------
+
+# Mosaic's compile-time stack/temporaries need beyond the declared scratch +
+# pipeline blocks, measured by bisection at deep probe batches on v5e
+# (N=1400: ~39-44 MB). Overridable for a different part via SIR_VMEM_HEADROOM.
+MOSAIC_HEADROOM_BYTES = int(
+    os.environ.get("SIR_VMEM_HEADROOM", str(46 * 1024 * 1024))
+)
+
+# Per-core VMEM by TPU generation (bytes). Every currently shipping TPU
+# exposes 128 MiB of VMEM per core (v4/v5e/v5p/v6e per the public TPU system
+# docs); the table exists so a future part with a different size is a
+# one-line change (and SIR_VMEM_BYTES overrides without code).
+_VMEM_BY_KIND = {
+    "TPU v4": 128 * 1024 * 1024,
+    "TPU v5 lite": 128 * 1024 * 1024,
+    "TPU v5e": 128 * 1024 * 1024,
+    "TPU v5": 128 * 1024 * 1024,
+    "TPU v5p": 128 * 1024 * 1024,
+    "TPU v6 lite": 128 * 1024 * 1024,
+    "TPU v6e": 128 * 1024 * 1024,
+}
+
+
+def device_vmem_bytes() -> int:
+    """Total per-core VMEM of the attached device (env/table/default)."""
+    env = os.environ.get("SIR_VMEM_BYTES")
+    if env:
+        return int(env)
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = ""
+    for prefix, size in _VMEM_BY_KIND.items():
+        if kind.startswith(prefix):
+            return size
+    return 128 * 1024 * 1024
+
+
+def vmem_cap_bytes() -> int:
+    """Scoped-VMEM ceiling to request: the part total minus 1 MiB (asking
+    for the full size is rejected; 1 MiB under is the measured edge on v5e)."""
+    return device_vmem_bytes() - 1024 * 1024
+
+
+def kernel_scratch_bytes(
+    n_pad: int, n_groups: int, n_slots: int, hb_pad: int, gt: int, wb: int,
+    hk: int, wk: int, compute_itemsize: int, wi: int,
+) -> int:
+    """Bytes of declared VMEM scratch for the fused kernel at this shape."""
+    lanes = gt * wb
+    return (
+        4 * n_pad * hb_pad * lanes                               # acc
+        + compute_itemsize * wk * (hb_pad + hk - 1 + 7) * lanes  # rolls
+        + 4 * n_groups * hb_pad * lanes                          # einv
+        + 4 * n_slots * hb_pad * lanes                           # slots
+        + 4 * 2 * hb_pad * wi                                    # rowdiff
+    )
+
+
+def auto_probe_rows(
+    hb: int, wb: int, hk: int, wk: int, *,
+    n_var: int, n_classes: int, g_pad: int,
+    n_slots_est: int = 80, compute_itemsize: int = 4,
+) -> int:
+    """Largest MXU row count N (probe batch * variants) whose kernel fits
+    the device's scoped VMEM: solve bytes(N) <= cap for the linear model
+    scratch(N) + blocks(N) + headroom. Replaces round 2's measured-on-v5e
+    constants (68e6-byte scratch target / 1400-row budget) so a different
+    TPU generation re-derives its own edge instead of OOM-bisecting."""
+    hb_pad = -(-hb // 8) * 8
+    gt = max(1, min(4, 128 // max(1, wb)))
+    lanes = gt * wb
+    ws = wb + wk - 1
+    # integral-image block extents (mirrors score_direct_pallas's packing)
+    top = hk // 2 + 1
+    he = hb + 2 * top + 1 + (hb_pad - hb)
+    he = -(-he // 8) * 8
+    we = wb + 2 * top + 1
+    wi = -(-(gt * we) // 128) * 128
+    # linear model: per-row cost (acc + einv amortized + kern blocks + out)
+    a = (
+        4 * hb_pad * lanes                          # acc row
+        + 4 * (n_classes / max(1, n_var)) * hb_pad * lanes  # einv row share
+        + 2 * compute_itemsize * hk * wk            # kern, double-buffered
+        + 4 * g_pad                                 # resident output column
+    )
+    b = (
+        compute_itemsize * wk * (hb_pad + hk - 1 + 7) * lanes  # rolls
+        + 4 * n_slots_est * hb_pad * lanes                     # slots
+        + 4 * 2 * hb_pad * wi                                  # rowdiff
+        + 4 * 2 * hb * gt * ws                                 # p0 block
+        + 4 * 2 * 2 * he * wi                                  # int12 block
+        + MOSAIC_HEADROOM_BYTES
+    )
+    n = int((vmem_cap_bytes() - b) / a)
+    return max(64, (n // 8) * 8)
 
 
 def score_direct_pallas(
@@ -368,20 +502,19 @@ def score_direct_pallas(
         scratch_shapes=[
             pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
             pltpu.VMEM((wk, hb_pad + hk - 1 + 7, gt * wb), compute_dtype),
-            pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
+            pltpu.VMEM((layout.n_groups, hb_pad, gt * wb), jnp.float32),
             pltpu.VMEM((n_slots, hb_pad, gt * wb), jnp.float32),
             pltpu.VMEM((2 * hb_pad, wi), jnp.float32),
         ],
     )
 
-    # scratch scales with n_pad (acc + corr are (n_pad, hb_pad, gt*wb) f32);
-    # deep probe batches need more than the 16 MB default scoped-vmem limit.
-    # Account for the double-buffered input blocks and the resident output
-    # block too, plus temporaries headroom.
-    scratch_bytes = 4 * (
-        2 * n_pad * hb_pad * gt * wb
-        + wk * (hb_pad + hk - 1 + 7) * gt * wb
-        + n_slots * hb_pad * gt * wb
+    # scratch scales with n_pad (acc is (n_pad, hb_pad, gt*wb) f32; einv is
+    # n_groups rows of the same); deep probe batches need more than the
+    # 16 MB default scoped-vmem limit. Account for the double-buffered input
+    # blocks and the resident output block too, plus temporaries headroom.
+    scratch_bytes = kernel_scratch_bytes(
+        n_pad, layout.n_groups, n_slots, hb_pad, gt, wb, hk, wk,
+        jnp.dtype(compute_dtype).itemsize, wi,
     )
     block_bytes = 4 * (
         2 * n_pad * hk * wk          # kern, double-buffered
@@ -389,13 +522,10 @@ def score_direct_pallas(
         + 2 * 2 * he * wi            # int12 block
         + g_pad * n_pad              # resident output block
     )
-    # 46 MB temporaries headroom: Mosaic's stack need at N=1400 measured
-    # ~39-44 MB beyond scratch+blocks (a short estimate OOMs the scoped
-    # vmem stack at compile time); the 127 MB cap is the part's edge.
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=min(
-            127 * 1024 * 1024,
-            scratch_bytes + block_bytes + 46 * 1024 * 1024,
+            vmem_cap_bytes(),
+            scratch_bytes + block_bytes + MOSAIC_HEADROOM_BYTES,
         ),
     )
     scores = pl.pallas_call(

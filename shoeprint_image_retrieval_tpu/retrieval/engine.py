@@ -46,7 +46,7 @@ from ..ops.ncc_direct import (
     fold_template,
     score_direct,
 )
-from ..ops.pallas.ncc_kernel import score_direct_pallas
+from ..ops.pallas.ncc_kernel import auto_probe_rows, score_direct_pallas
 from ..parallel.mesh import GALLERY_AXIS, build_mesh
 from ..parallel.sharded import make_sharded_packed_scorer, shard_cache
 from ..ops.preprocess import normalize_batch
@@ -109,41 +109,69 @@ class Pipeline:
         """
         key = (block, device_clahe)
         if key not in self._param_cache:
-            from ..models.layers import set_conv_precision
+            from ..models.layers import conv_precision
 
             # tpu.precision="bfloat16": single-pass bf16 conv multiplies for
             # extraction (~2e-3 relative feature deviation; the strict
-            # default keeps torch-parity-grade HIGHEST convs)
-            set_conv_precision(self.config["tpu"].get("precision", "float32"))
+            # default keeps torch-parity-grade HIGHEST convs). The context
+            # is entered INSIDE the jitted body so every trace — including
+            # shape-driven retraces — binds THIS pipeline's precision.
+            precision = self.config["tpu"].get("precision", "float32")
             features = self.spec.build().truncate(block)
             params = load_or_init_params(features, self.config["model"]["type"], self.weights_dir)
             mcfg = self.config["model"]
 
             @jax.jit
             def step(p, u8, v):
-                if device_clahe:
-                    u8 = clahe_batched_dynamic(
-                        u8, v, mcfg["clahe_clip_limit"],
-                        tuple(mcfg["clahe_tile_grid_size"]),
-                    )
-                x = normalize_batch(u8, v, self.spec.mean, self.spec.std)
-                return features.apply(p, x, v)
+                with conv_precision(precision):
+                    if device_clahe:
+                        if u8.ndim == 4:  # RGB: CLAHE on the LAB L channel
+                            from ..ops.clahe import lab_u8_to_rgb, rgb_to_lab_u8
+
+                            lab = rgb_to_lab_u8(u8)
+                            l_eq = clahe_batched_dynamic(
+                                lab[..., 0], v, mcfg["clahe_clip_limit"],
+                                tuple(mcfg["clahe_tile_grid_size"]),
+                            )
+                            u8 = lab_u8_to_rgb(
+                                jnp.concatenate(
+                                    [l_eq[..., None], lab[..., 1:]], axis=-1
+                                )
+                            )
+                        else:
+                            u8 = clahe_batched_dynamic(
+                                u8, v, mcfg["clahe_clip_limit"],
+                                tuple(mcfg["clahe_tile_grid_size"]),
+                            )
+                    x = normalize_batch(u8, v, self.spec.mean, self.spec.std)
+                    return features.apply(p, x, v)
 
             self._param_cache[key] = (features, params, step)
         return self._param_cache[key]
 
     def _host_clahe(self, images: Sequence[np.ndarray]) -> list[np.ndarray] | None:
         """Equalize on host via the native C++ path when configured and
-        applicable (grayscale uint8 + library available); None = use device."""
+        applicable (uint8 gray or RGB + library available); None = device."""
         from ..data import native_ingest
 
         if not self.config["tpu"].get("clahe_host", True):
             return None
         if not native_ingest.available():
             return None
-        if not all(im.ndim == 2 and im.dtype == np.uint8 for im in images):
+        gray = all(im.ndim == 2 and im.dtype == np.uint8 for im in images)
+        rgb = all(
+            im.ndim == 3 and im.shape[2] == 3 and im.dtype == np.uint8
+            for im in images
+        )
+        if not (gray or rgb):
             return None
         mcfg = self.config["model"]
+        tx, ty = mcfg["clahe_tile_grid_size"]  # cv2 order: (width, height)
+        if not all(im.shape[0] >= ty and im.shape[1] >= tx for im in images):
+            # images smaller than the tile grid: the native reflect-101
+            # extension clamps where cv2 multi-reflects — route through the
+            # device kernel (same clamp semantics, so rankings are unchanged)
+            return None
         return native_ingest.clahe_batch(
             images, mcfg["clahe_clip_limit"], tuple(mcfg["clahe_tile_grid_size"]),
             n_threads=self.config["dataset"]["n_processes"],
@@ -286,16 +314,27 @@ class Pipeline:
         # Probes are scored PROBE_BATCH at a time: each probe contributes
         # n_var variants to the kernel's MXU output axis; a deep output axis
         # amortizes the kernel's per-step fixed work (patch rolls, energy
-        # epilogue) over many probes — measured sweep at WVU scale:
-        # N=500/700/1000/1200/1400 -> 8.8/10.2/13.7/14.8/15.4 probes/s
-        # (N=1500+ exhausts scoped VMEM). Auto targets ~1400 rows, clamped
-        # so the kernel's acc+corr VMEM scratch stays under ~68 MB.
-        gal_hb = -(-(g_maps.shape[2] - 2 * EDGE_CROP) // 8) * 8
+        # epilogue) over many probes — measured sweep at WVU scale (round 2):
+        # N=500/700/1000/1200/1400 -> 8.8/10.2/13.7/14.8/15.4 probes/s.
+        # The row budget is solved from the DEVICE's VMEM size
+        # (ops/pallas/ncc_kernel.auto_probe_rows), not a baked-in constant:
+        # a different TPU generation re-derives its own edge.
+        gal_hb = g_maps.shape[2] - 2 * EDGE_CROP
         gal_wb = g_maps.shape[3] - 2 * EDGE_CROP
-        gt = max(1, min(4, 128 // max(1, gal_wb)))
-        n_rows_max = max(64, int(68e6 / (8 * gal_hb * gt * gal_wb)))
+        g_total = len(g_maps)
+        mesh_size = self._mesh_size()
+        gb_cfg = self.config["tpu"].get("gallery_block", 0) or g_total
+        gb_cfg = min(gb_cfg, g_total)
+        if mesh_size > 1:
+            gb_cfg = -(-gb_cfg // mesh_size) * mesh_size
+        gt_pack = max(1, min(4, 128 // max(1, gal_wb)))
+        n_rows_max = auto_probe_rows(
+            gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
+            n_var=n_var, n_classes=len(class_counts),
+            g_pad=-(-gb_cfg // gt_pack) * gt_pack,
+        )
         pb = self.config["tpu"].get("probe_batch", 0) or max(
-            1, min(1400, n_rows_max) // max(1, n_var)
+            1, n_rows_max // max(1, n_var)
         )
         pb = max(1, min(len(q_maps), pb))
         layout = VariantLayout(class_counts, pb)
@@ -365,7 +404,6 @@ class Pipeline:
         # variant stack against the local shard, all-gathering score rows
         # over ICI (SURVEY.md section 2.4; tpu.mesh_shape, 0 = all devices).
         # The sharded path runs the SAME backend kernel per shard.
-        mesh_size = self._mesh_size()
         mesh = build_mesh(mesh_size) if mesh_size > 1 else None
 
         # gallery blocking (tpu.gallery_block): bound device memory for huge
@@ -373,11 +411,7 @@ class Pipeline:
         # prints, probe batches loop inside each block, score columns
         # assembled on host (reference replicates the whole gallery into
         # host shm instead: similarity.py:164-176).
-        g_total = len(g_maps)
-        gb = self.config["tpu"].get("gallery_block", 0) or g_total
-        gb = min(gb, g_total)
-        if mesh is not None:
-            gb = -(-gb // mesh_size) * mesh_size  # align blocks to the mesh
+        gb = gb_cfg
 
         # cache is a jit *argument* (not a closure capture): jit would
         # constant-fold captured arrays via a device->host pull, and large
