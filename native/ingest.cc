@@ -132,6 +132,13 @@ void resize_one(const uint8_t* src, int src_h, int src_w, int src_stride,
 // the four neighboring tile LUTs at the pixel's own intensity. Float math
 // is float32 to mirror both cv2 and the jnp kernel; round-half-even via
 // nearbyintf under the default FE_TONEAREST mode.
+//
+// Precondition for the cv2-bit-exactness claim: h >= tiles_y and
+// w >= tiles_x (at least one pixel per tile). Below that the extension
+// pad exceeds dim-1 and the single reflect-101 index below clamps to 0
+// where cv2 multi-reflects; the Python wrapper (data/native_ingest.py)
+// refuses such inputs and the engine routes them to the device kernel
+// (which uses the same clamp, keeping both in-repo paths consistent).
 // ---------------------------------------------------------------------------
 
 void clahe_one(const uint8_t* src, int h, int w, float clip_limit,
@@ -226,6 +233,162 @@ void clahe_one(const uint8_t* src, int h, int w, float clip_limit,
   }
 }
 
+// ---------------------------------------------------------------------------
+// RGB <-> LAB, OpenCV 8-bit fixed-point integer algorithms (RGB2Lab_b /
+// Lab2RGBinteger) — the same tables and arithmetic as ops/clahe.py's jnp
+// port (verified equal to cv2 over all 2^24 inputs there); this native copy
+// is validated against the jnp port in tests/test_native.py. Used for the
+// reference's RGB branch (reference network.py:199-206: RGB -> LAB, CLAHE
+// on L, LAB -> RGB).
+// ---------------------------------------------------------------------------
+
+constexpr int kLabShift = 12;
+constexpr int kGammaShift = 3;
+constexpr int kLabShift2 = kLabShift + kGammaShift;
+constexpr int kLabBase = 1 << 14;
+constexpr int kLabMinAb = -8145;
+constexpr int kInvGammaSize = 1 << 12;
+constexpr int kCbrtSize = 256 * 3 / 2 * (1 << kGammaShift);
+constexpr int kAbSize = kLabBase * 9 / 4;
+
+constexpr double kD65[3] = {0.950456, 1.0, 1.088754};
+constexpr double kSRGB2XYZ[9] = {0.412453, 0.357580, 0.180423,
+                                 0.212671, 0.715160, 0.072169,
+                                 0.019334, 0.119193, 0.950227};
+constexpr double kXYZ2SRGB[9] = {3.240479,  -1.537150, -0.498535,
+                                 -0.969256, 1.875992,  0.041556,
+                                 0.055648,  -0.204043, 1.057311};
+
+struct LabTables {
+  int32_t gamma_tab[256];
+  int32_t cbrt_tab[kCbrtSize];
+  int32_t fwd_coeffs[9];
+  int32_t y_tab[256];
+  int32_t ify_tab[256];
+  std::vector<int32_t> ab_tab;  // kAbSize entries
+  int32_t inv_coeffs[9];
+  uint8_t inv_gamma_tab[kInvGammaSize];
+};
+
+// round half to even, matching np.rint / cv2's softfloat table generation
+inline int64_t rint64(double x) { return static_cast<int64_t>(nearbyint(x)); }
+
+const LabTables& lab_tables() {
+  static LabTables t = [] {
+    LabTables tt;
+    tt.ab_tab.resize(kAbSize);
+    for (int i = 0; i < 256; ++i) {
+      const double v = i / 255.0;
+      const double g =
+          v <= 0.04045 ? v / 12.92 : std::pow((v + 0.055) / 1.055, 2.4);
+      tt.gamma_tab[i] = static_cast<int32_t>(rint64(255.0 * (1 << kGammaShift) * g));
+    }
+    for (int i = 0; i < kCbrtSize; ++i) {
+      const double x = i / (255.0 * (1 << kGammaShift));
+      const double f = x < 216.0 / 24389.0 ? x * (841.0 / 108.0) + 16.0 / 116.0
+                                           : std::cbrt(x);
+      tt.cbrt_tab[i] = static_cast<int32_t>(rint64((1 << kLabShift2) * f));
+    }
+    // two entries where f64 rounding lands on the other side of the half
+    // vs cv2's softfloat generation (same nudge as ops/clahe.py)
+    tt.cbrt_tab[49] -= 1;
+    tt.cbrt_tab[628] += 1;
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c)
+        tt.fwd_coeffs[r * 3 + c] = static_cast<int32_t>(
+            rint64(double(1 << kLabShift) * kSRGB2XYZ[r * 3 + c] / kD65[r]));
+
+    for (int i = 0; i < 256; ++i) {
+      if (i <= 20) {  // L*100/255 <= 8: the CIE linear region
+        tt.y_tab[i] = static_cast<int32_t>(rint64(i * double(kLabBase) * 100.0 / 903.3 / 255.0));
+        tt.ify_tab[i] = static_cast<int32_t>(
+            rint64(kLabBase * (7.787 * (i * 100.0 / 903.3 / 255.0) + 16.0 / 116.0)));
+      } else {
+        const double fy = (i * 100.0 / 255.0 + 16.0) / 116.0;
+        tt.ify_tab[i] = static_cast<int32_t>(rint64(kLabBase * fy));
+        tt.y_tab[i] = static_cast<int32_t>(rint64(kLabBase * fy * fy * fy));
+      }
+    }
+    for (int j = 0; j < kAbSize; ++j) {
+      const int64_t idx = kLabMinAb + j;  // C division truncates toward zero
+      const int64_t lin =
+          idx * 108 / 841 - (int64_t(kLabBase) * 16 / 116 * 108 / 841);
+      const int64_t cube = idx * idx / kLabBase * idx / kLabBase;
+      tt.ab_tab[j] = static_cast<int32_t>(idx <= 3390 ? lin : cube);
+    }
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c)
+        tt.inv_coeffs[r * 3 + c] = static_cast<int32_t>(
+            rint64(double(1 << kLabShift) * kXYZ2SRGB[r * 3 + c] * kD65[c]));
+    for (int i = 0; i < kInvGammaSize; ++i) {
+      const double u = i / double(kInvGammaSize);
+      const double g = u <= 0.0031308
+                           ? 12.92 * u
+                           : 1.055 * std::pow(u, 1.0 / 2.4) - 0.055;
+      int64_t v = rint64(255.0 * g);
+      tt.inv_gamma_tab[i] =
+          static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+    return tt;
+  }();
+  return t;
+}
+
+inline int32_t descale(int32_t x, int n) { return (x + (1 << (n - 1))) >> n; }
+
+// CLAHE an interleaved (h, w, 3) uint8 RGB image via the LAB L channel,
+// reference network.py:199-206 semantics. Scratch: three h*w planes.
+void clahe_rgb_one(const uint8_t* src, int h, int w, float clip_limit,
+                   int tiles_y, int tiles_x, uint8_t* dst) {
+  const LabTables& t = lab_tables();
+  const size_t npx = static_cast<size_t>(h) * w;
+  std::vector<uint8_t> l_plane(npx), a_plane(npx), b_plane(npx);
+
+  const int32_t* fc = t.fwd_coeffs;
+  const int32_t l_scale = (116 * 255 + 50) / 100;
+  const int32_t l_shift = -((16 * 255 * (1 << kLabShift2) + 50) / 100);
+  for (size_t i = 0; i < npx; ++i) {
+    const int32_t r = t.gamma_tab[src[3 * i]];
+    const int32_t g = t.gamma_tab[src[3 * i + 1]];
+    const int32_t b = t.gamma_tab[src[3 * i + 2]];
+    const int32_t fx = t.cbrt_tab[descale(r * fc[0] + g * fc[1] + b * fc[2], kLabShift)];
+    const int32_t fy = t.cbrt_tab[descale(r * fc[3] + g * fc[4] + b * fc[5], kLabShift)];
+    const int32_t fz = t.cbrt_tab[descale(r * fc[6] + g * fc[7] + b * fc[8], kLabShift)];
+    int32_t lv = descale(l_scale * fy + l_shift, kLabShift2);
+    int32_t av = descale(500 * (fx - fy) + 128 * (1 << kLabShift2), kLabShift2);
+    int32_t bv = descale(200 * (fy - fz) + 128 * (1 << kLabShift2), kLabShift2);
+    l_plane[i] = static_cast<uint8_t>(lv < 0 ? 0 : (lv > 255 ? 255 : lv));
+    a_plane[i] = static_cast<uint8_t>(av < 0 ? 0 : (av > 255 ? 255 : av));
+    b_plane[i] = static_cast<uint8_t>(bv < 0 ? 0 : (bv > 255 ? 255 : bv));
+  }
+
+  std::vector<uint8_t> l_eq(npx);
+  clahe_one(l_plane.data(), h, w, clip_limit, tiles_y, tiles_x, l_eq.data());
+
+  const int32_t* ic = t.inv_coeffs;
+  const int shift = kLabShift + 2;  // descale 2^26 -> 4096-entry gamma domain
+  for (size_t i = 0; i < npx; ++i) {
+    const int32_t li = l_eq[i];
+    const int32_t ai = a_plane[i];
+    const int32_t bi = b_plane[i];
+    const int32_t y = t.y_tab[li];
+    const int32_t ify = t.ify_tab[li];
+    const int32_t adiv = ((5 * ai * 53687 + (1 << 7)) >> 13) - 128 * kLabBase / 500;
+    const int32_t bdiv = ((bi * 41943 + (1 << 4)) >> 9) - (128 * kLabBase / 200) + 1;
+    auto clampi = [](int32_t v, int32_t lo, int32_t hi) {
+      return v < lo ? lo : (v > hi ? hi : v);
+    };
+    const int32_t x = t.ab_tab[clampi(ify + adiv - kLabMinAb, 0, kAbSize - 1)];
+    const int32_t z = t.ab_tab[clampi(ify - bdiv - kLabMinAb, 0, kAbSize - 1)];
+    const int32_t ro = clampi(descale(ic[0] * x + ic[1] * y + ic[2] * z, shift), 0, kInvGammaSize - 1);
+    const int32_t go = clampi(descale(ic[3] * x + ic[4] * y + ic[5] * z, shift), 0, kInvGammaSize - 1);
+    const int32_t bo = clampi(descale(ic[6] * x + ic[7] * y + ic[8] * z, shift), 0, kInvGammaSize - 1);
+    dst[3 * i] = t.inv_gamma_tab[ro];
+    dst[3 * i + 1] = t.inv_gamma_tab[go];
+    dst[3 * i + 2] = t.inv_gamma_tab[bo];
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -276,6 +439,26 @@ void clahe_batch(const uint8_t** srcs, const int* hw, float clip_limit,
       for (int i = t; i < n; i += n_threads) {
         clahe_one(srcs[i], hw[2 * i], hw[2 * i + 1], clip_limit, tiles_y,
                   tiles_x, dsts[i]);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+}
+
+// Batch CLAHE for interleaved (h, w, 3) uint8 RGB images: RGB -> LAB
+// (OpenCV integer fixed-point), CLAHE on L, LAB -> RGB (reference
+// network.py:199-206 semantics, matching ops/clahe.py's clahe_image).
+void clahe_rgb_batch(const uint8_t** srcs, const int* hw, float clip_limit,
+                     int tiles_y, int tiles_x, uint8_t** dsts, int n,
+                     int n_threads) {
+  lab_tables();  // build once before the threads race
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    workers.emplace_back([=]() {
+      for (int i = t; i < n; i += n_threads) {
+        clahe_rgb_one(srcs[i], hw[2 * i], hw[2 * i + 1], clip_limit, tiles_y,
+                      tiles_x, dsts[i]);
       }
     });
   }

@@ -49,7 +49,7 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int,
                 ctypes.c_int,
             ]
-            lib.clahe_batch.argtypes = [
+            clahe_sig = [
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.c_float,
@@ -59,6 +59,8 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int,
                 ctypes.c_int,
             ]
+            lib.clahe_batch.argtypes = clahe_sig
+            lib.clahe_rgb_batch.argtypes = clahe_sig
             _lib = lib
         except Exception:
             _failed = True
@@ -111,23 +113,44 @@ def clahe_batch(
     tile_grid_size: tuple[int, int],
     n_threads: int = 8,
 ) -> list[np.ndarray]:
-    """CLAHE a batch of (H, W) uint8 grayscale images natively.
+    """CLAHE a batch of uint8 images natively: (H, W) grayscale direct,
+    (H, W, 3) RGB via the LAB L channel (OpenCV integer fixed-point both
+    directions — reference network.py:197-208 semantics). A batch must be
+    all-gray or all-RGB.
 
     Bit-exact vs ``cv2.createCLAHE(clip_limit, tile_grid_size).apply`` and
     vs the device kernel (ops/clahe.py) — tests/test_native.py. The device
     CLAHE's LUT gathers dominate TPU extraction time, so the engine prefers
     this host pass (tpu.clahe_host).
+
+    Precondition: every image must be at least one pixel per tile on each
+    axis (``h >= tiles_y and w >= tiles_x``). Below that, the tile-grid
+    reflect-101 extension needs pad > dim-1 and cv2 multi-reflects where
+    this implementation (and the device kernel) clamp — the bit-exactness
+    claim would not hold, so such inputs are refused.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native ingest library unavailable (no g++?)")
+    ty, tx = tile_grid_size[1], tile_grid_size[0]
+    for im in images:
+        if im.shape[0] < ty or im.shape[1] < tx:
+            raise ValueError(
+                f"clahe_batch: image {im.shape} smaller than the tile grid "
+                f"({ty}x{tx} tiles); the reflect-101 extension would diverge "
+                "from cv2 — use the device path for degenerate tiny images"
+            )
     tiles_x, tiles_y = tile_grid_size  # cv2 takes (width, height)
     n = len(images)
     srcs = [np.ascontiguousarray(im) for im in images]
+    rgb = srcs[0].ndim == 3
+    if any((s.ndim == 3) != rgb for s in srcs):
+        raise ValueError("clahe_batch: mixed gray/RGB batch")
     dsts = [np.empty(im.shape, np.uint8) for im in srcs]
     src_ptrs = (ctypes.c_void_p * n)(*[s.ctypes.data for s in srcs])
     dst_ptrs = (ctypes.c_void_p * n)(*[d.ctypes.data for d in dsts])
-    hw = (ctypes.c_int * (2 * n))(*[v for s in srcs for v in s.shape])
-    lib.clahe_batch(src_ptrs, hw, ctypes.c_float(clip_limit), tiles_y,
-                    tiles_x, dst_ptrs, n, n_threads)
+    hw = (ctypes.c_int * (2 * n))(*[v for s in srcs for v in s.shape[:2]])
+    fn = lib.clahe_rgb_batch if rgb else lib.clahe_batch
+    fn(src_ptrs, hw, ctypes.c_float(clip_limit), tiles_y,
+       tiles_x, dst_ptrs, n, n_threads)
     return dsts
