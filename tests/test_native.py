@@ -113,3 +113,38 @@ def test_native_clahe_matches_device_kernel():
     got = native_ingest.clahe_batch(batch, 2.0, (8, 8), n_threads=3)
     for g, img in zip(got, batch):
         np.testing.assert_array_equal(g, np.asarray(clahe_u8(img, 2.0, (8, 8))))
+
+
+def test_native_rgb_clahe_matches_cv2_and_jnp():
+    """C++ RGB CLAHE (integer LAB both ways) == cv2 RGB->LAB->CLAHE(L)->RGB
+    == the jnp path (ops/clahe.clahe_image) — reference network.py:199-206."""
+    import cv2
+
+    from shoeprint_image_retrieval_tpu.ops.clahe import clahe_image
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        h, w = int(rng.integers(20, 120)), int(rng.integers(20, 120))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        clip = float(rng.choice([1.0, 2.0, 4.0]))
+        tx, ty = int(rng.integers(2, 9)), int(rng.integers(2, 9))
+
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        lab[..., 0] = cv2.createCLAHE(clipLimit=clip, tileGridSize=(tx, ty)).apply(
+            lab[..., 0]
+        )
+        want = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+
+        got = native_ingest.clahe_batch([img], clip, (tx, ty), n_threads=2)[0]
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            got, np.asarray(clahe_image(img, clip, (tx, ty)))
+        )
+
+
+def test_native_clahe_refuses_images_smaller_than_tile_grid():
+    """Images below one pixel per tile would diverge from cv2 (multi-
+    reflection); the wrapper refuses them (ADVICE r2: ingest.cc:155)."""
+    img = np.zeros((5, 40), np.uint8)
+    with pytest.raises(ValueError, match="tile grid"):
+        native_ingest.clahe_batch([img], 2.0, (8, 8), n_threads=1)
