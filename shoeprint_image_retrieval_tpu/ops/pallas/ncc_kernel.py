@@ -299,12 +299,16 @@ def _kernel_body(
 # VMEM budgeting — derived from the device, not baked-in magic numbers.
 # ---------------------------------------------------------------------------
 
-# Mosaic's compile-time stack/temporaries need beyond the declared scratch +
-# pipeline blocks, measured by bisection at deep probe batches on v5e
-# (N=1400: ~39-44 MB). Overridable for a different part via SIR_VMEM_HEADROOM.
-MOSAIC_HEADROOM_BYTES = int(
-    os.environ.get("SIR_VMEM_HEADROOM", str(46 * 1024 * 1024))
-)
+def mosaic_headroom_bytes(n_pad: int) -> int:
+    """Mosaic's compile-time stack/temporaries need beyond the declared
+    scratch + pipeline blocks, as a function of the MXU row depth. Measured
+    on v5e for this kernel: <=46 MB at N=1400, 55.2 MB at N=1800 (the
+    compiler reports the exact stack need on OOM) — ~24 KB/row + base.
+    SIR_VMEM_HEADROOM overrides with an absolute byte count."""
+    env = os.environ.get("SIR_VMEM_HEADROOM")
+    if env:
+        return int(env)
+    return 16 * 1024 * 1024 + 24 * 1024 * n_pad
 
 # Per-core VMEM by TPU generation (bytes). Every currently shipping TPU
 # exposes 128 MiB of VMEM per core (v4/v5e/v5p/v6e per the public TPU system
@@ -342,21 +346,6 @@ def vmem_cap_bytes() -> int:
     return device_vmem_bytes() - 1024 * 1024
 
 
-def kernel_scratch_bytes(
-    n_pad: int, n_groups: int, n_slots: int, hb_pad: int, gt: int, wb: int,
-    hk: int, wk: int, compute_itemsize: int, wi: int,
-) -> int:
-    """Bytes of declared VMEM scratch for the fused kernel at this shape."""
-    lanes = gt * wb
-    return (
-        4 * n_pad * hb_pad * lanes                               # acc
-        + compute_itemsize * wk * (hb_pad + hk - 1 + 7) * lanes  # rolls
-        + 4 * n_groups * hb_pad * lanes                          # einv
-        + 4 * n_slots * hb_pad * lanes                           # slots
-        + 4 * 2 * hb_pad * wi                                    # rowdiff
-    )
-
-
 def auto_probe_rows(
     hb: int, wb: int, hk: int, wk: int, *,
     n_var: int, n_classes: int, g_pad: int,
@@ -377,12 +366,14 @@ def auto_probe_rows(
     he = -(-he // 8) * 8
     we = wb + 2 * top + 1
     wi = -(-(gt * we) // 128) * 128
-    # linear model: per-row cost (acc + einv amortized + kern blocks + out)
+    # linear model: per-row cost (acc + einv amortized + kern blocks + out +
+    # Mosaic stack growth, calibrated via mosaic_headroom_bytes)
     a = (
         4 * hb_pad * lanes                          # acc row
         + 4 * (n_classes / max(1, n_var)) * hb_pad * lanes  # einv row share
         + 2 * compute_itemsize * hk * wk            # kern, double-buffered
         + 4 * g_pad                                 # resident output column
+        + (mosaic_headroom_bytes(1024) - mosaic_headroom_bytes(0)) / 1024
     )
     b = (
         compute_itemsize * wk * (hb_pad + hk - 1 + 7) * lanes  # rolls
@@ -390,7 +381,7 @@ def auto_probe_rows(
         + 4 * 2 * hb_pad * wi                                  # rowdiff
         + 4 * 2 * hb * gt * ws                                 # p0 block
         + 4 * 2 * 2 * he * wi                                  # int12 block
-        + MOSAIC_HEADROOM_BYTES
+        + mosaic_headroom_bytes(0)
     )
     n = int((vmem_cap_bytes() - b) / a)
     return max(64, (n // 8) * 8)
@@ -508,25 +499,13 @@ def score_direct_pallas(
         ],
     )
 
-    # scratch scales with n_pad (acc is (n_pad, hb_pad, gt*wb) f32; einv is
-    # n_groups rows of the same); deep probe batches need more than the
-    # 16 MB default scoped-vmem limit. Account for the double-buffered input
-    # blocks and the resident output block too, plus temporaries headroom.
-    scratch_bytes = kernel_scratch_bytes(
-        n_pad, layout.n_groups, n_slots, hb_pad, gt, wb, hk, wk,
-        jnp.dtype(compute_dtype).itemsize, wi,
-    )
-    block_bytes = 4 * (
-        2 * n_pad * hk * wk          # kern, double-buffered
-        + 2 * hb * gt * ws           # p0 block
-        + 2 * 2 * he * wi            # int12 block
-        + g_pad * n_pad              # resident output block
-    )
+    # Request the part's full scoped-VMEM edge: the limit is a cap, not an
+    # allocation, and requesting only an estimated need creates artificial
+    # stack OOMs when Mosaic's temporaries outgrow the estimate (observed at
+    # N=1800: need 119.6 MB vs a 110.4 MB estimate with 22.8 MB of part
+    # still free). auto_probe_rows keeps requested shapes under the cap.
     compiler_params = pltpu.CompilerParams(
-        vmem_limit_bytes=min(
-            vmem_cap_bytes(),
-            scratch_bytes + block_bytes + MOSAIC_HEADROOM_BYTES,
-        ),
+        vmem_limit_bytes=vmem_cap_bytes(),
     )
     scores = pl.pallas_call(
         body,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from pathlib import Path
 from typing import Sequence
 
 import jax
@@ -91,6 +92,10 @@ class Pipeline:
         crop = config["dataset"]["crop"]
         q_sizes = read_header_sizes(self.dataset.query_dir, self.dataset.query_files)
         g_sizes = read_header_sizes(self.dataset.gallery_dir, self.dataset.gallery_files)
+        # header (width, height) per file: lets the streamed extraction path
+        # compute each cluster's canvas bucket without decoding any pixels
+        self._q_hdr = dict(zip(self.dataset.query_files, q_sizes))
+        self._g_hdr = dict(zip(self.dataset.gallery_files, g_sizes))
         self.plans = plan_clusters(
             q_sizes, self.dataset.query_files, g_sizes, crop,
             config["dataset"]["n_clusters"], planner_cfg,
@@ -207,6 +212,113 @@ class Pipeline:
             outs.append(np.asarray(y)[: len(images) - i if pad else bs])
             vouts.append(np.asarray(vy)[: len(images) - i if pad else bs])
         return np.concatenate(outs), np.concatenate(vouts)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _ingest_out_hw(hdr_wh: tuple[int, int], crop, scale: float) -> tuple[int, int]:
+        """Post-ingest (h, w) from a header (width, height) — the exact
+        crop/resize arithmetic of data/loader.load_one (reference
+        dataloader.py:218-237), so canvases are known without decoding."""
+        import math
+
+        w, h = hdr_wh
+        ch = math.floor(h * crop[0])
+        cw = math.floor(w * crop[1])
+        return int((h - 2 * ch) * scale), int((w - 2 * cw) * scale)
+
+    def _stream_applicable(self, directory, files, hdr, scale: float) -> bool:
+        """True when the double-buffered host-CLAHE ingest stream can serve
+        this file set: native library + host CLAHE enabled + uint8 gray/RGB
+        (first file's header mode) + every image at least one pixel per
+        CLAHE tile after crop/resize."""
+        from PIL import Image
+
+        from ..data import native_ingest
+
+        if not self.config["tpu"].get("clahe_host", True):
+            return False
+        if not native_ingest.available():
+            return False
+        if not files:
+            return False
+        with Image.open(Path(directory) / files[0]) as im:
+            if im.mode not in ("L", "RGB"):
+                return False
+        crop = self.config["dataset"]["crop"]
+        tx, ty = self.config["model"]["clahe_tile_grid_size"]
+        for f in files:
+            oh, ow = self._ingest_out_hw(hdr[f], crop, scale)
+            if oh < ty or ow < tx:
+                return False
+        return True
+
+    def _extract_streamed(
+        self, step, params, directory, files: Sequence[str], scale: float,
+        hdr: dict,
+    ):
+        """Pipelined ingest + extraction: a worker thread decodes, crops,
+        Lanczos-resizes and host-CLAHEs chunk i+1 while the device extracts
+        chunk i (round-2 ran these serially: the host's ~10 ms/img capped
+        cache builds regardless of device batch — the TPU analog of the
+        reference's loader/extractor separation, dataloader.py:135-172 vs
+        network.py:246-269). Returns (maps, valid) like :meth:`_extract`."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        crop = self.config["dataset"]["crop"]
+        n_threads = self.config["dataset"]["n_processes"]
+        outs = [self._ingest_out_hw(hdr[f], crop, scale) for f in files]
+        canvas = (
+            -(-max(h for h, _ in outs) // 64) * 64,
+            -(-max(w for _, w in outs) // 64) * 64,
+        )
+        bs = max(1, self.config["tpu"]["extraction_batch"])
+        mesh_size = self._mesh_size()
+        shard = None
+        if mesh_size > 1:
+            bs = -(-bs // mesh_size) * mesh_size
+            shard = NamedSharding(build_mesh(mesh_size), P(GALLERY_AXIS))
+
+        def prep(chunk_files):
+            imgs = load_images(directory, chunk_files, scale, crop, n_threads)
+            eq = self._host_clahe(imgs)
+            if eq is None:
+                raise RuntimeError(
+                    "streamed ingest: host CLAHE became inapplicable mid-"
+                    f"stream (mixed image modes?) at {chunk_files[0]}"
+                )
+            batch, valid = pack_canvas(eq, canvas_hw=canvas)
+            pad = bs - len(chunk_files)
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
+                )
+                valid = np.concatenate([valid, np.ones((pad, 2), valid.dtype)])
+            return batch, valid
+
+        chunks = [files[i : i + bs] for i in range(0, len(files), bs)]
+        outs_maps, outs_valid = [], []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futs: list = []  # lookahead 2: bounds host memory to ~2 chunks
+            pending: list[tuple[object, object, int]] = []
+
+            def drain(limit: int) -> None:
+                while len(pending) > limit:
+                    y, vy, n = pending.pop(0)
+                    outs_maps.append(np.asarray(y)[:n])
+                    outs_valid.append(np.asarray(vy)[:n])
+
+            for ci, chunk_files in enumerate(chunks):
+                while len(futs) < min(2, len(chunks) - ci):
+                    futs.append(pool.submit(prep, chunks[ci + len(futs)]))
+                batch, valid = futs.pop(0).result()
+                cd, vd = jnp.asarray(batch), jnp.asarray(valid)
+                if shard is not None:
+                    cd, vd = jax.device_put(cd, shard), jax.device_put(vd, shard)
+                y, vy = step(params, cd, vd)
+                pending.append((y, vy, len(chunk_files)))
+                drain(1)  # lag one chunk: device runs while the next preps
+            drain(0)
+        return np.concatenate(outs_maps), np.concatenate(outs_valid)
 
     # ------------------------------------------------------------------
     def _variant_plan(self, q_valid: np.ndarray, feat_canvas: tuple[int, int]):
@@ -570,47 +682,73 @@ class Pipeline:
     def run_cluster(self, plan) -> ClusterOutput:
         crop = self.config["dataset"]["crop"]
         n_threads = self.config["dataset"]["n_processes"]
-        gkey_probe = GalleryFeatureCache.key(
+        q_files = sorted(plan.files)
+        gkey = GalleryFeatureCache.key(
             self.config["model"]["type"], plan.block, plan.scale,
             self.dataset.gallery_files,
         )
-        with stage_timer("ingest", self.verbose):
-            q_files = sorted(plan.files)
-            q_imgs = load_images(self.dataset.query_dir, q_files, plan.scale, crop, n_threads)
-            g_imgs = (
-                None
-                if self.gallery_cache.get(gkey_probe) is not None
-                else load_images(
-                    self.dataset.gallery_dir, self.dataset.gallery_files,
-                    plan.scale, crop, n_threads,
-                )
+        g_cached = self.gallery_cache.get(gkey)
+
+        # streamed path: decode + native crop/Lanczos + native CLAHE of
+        # chunk i+1 overlap the device's extraction of chunk i; the ingest
+        # stage disappears into the extract stages
+        stream = self._stream_applicable(
+            self.dataset.query_dir, q_files, self._q_hdr, plan.scale
+        ) and (
+            g_cached is not None
+            or self._stream_applicable(
+                self.dataset.gallery_dir, self.dataset.gallery_files,
+                self._g_hdr, plan.scale,
             )
-            # host CLAHE rides the ingest stage (tpu.clahe_host): the native
-            # C++ pass is bit-exact vs the device kernel, whose LUT gathers
-            # otherwise dominate TPU extraction time
-            q_eq = self._host_clahe(q_imgs)
-            g_eq = self._host_clahe(g_imgs) if g_imgs is not None else None
-            host_eq = q_eq is not None and (g_imgs is None or g_eq is not None)
-            if host_eq:
-                q_imgs = q_eq
-                g_imgs = g_eq if g_eq is not None else g_imgs
-        _, params, step = self._model_for_block(plan.block, device_clahe=not host_eq)
-        with stage_timer("extract-query", self.verbose):
-            q_maps, q_valid = self._extract(step, params, q_imgs)
+        )
+        if stream:
+            g_imgs = None
+            _, params, step = self._model_for_block(plan.block, device_clahe=False)
+            with stage_timer("extract-query", self.verbose):
+                q_maps, q_valid = self._extract_streamed(
+                    step, params, self.dataset.query_dir, q_files,
+                    plan.scale, self._q_hdr,
+                )
+        else:
+            with stage_timer("ingest", self.verbose):
+                q_imgs = load_images(
+                    self.dataset.query_dir, q_files, plan.scale, crop, n_threads
+                )
+                g_imgs = (
+                    None
+                    if g_cached is not None
+                    else load_images(
+                        self.dataset.gallery_dir, self.dataset.gallery_files,
+                        plan.scale, crop, n_threads,
+                    )
+                )
+                # host CLAHE rides the ingest stage (tpu.clahe_host): the
+                # native C++ pass is bit-exact vs the device kernel, whose
+                # LUT gathers otherwise dominate TPU extraction time
+                q_eq = self._host_clahe(q_imgs)
+                g_eq = self._host_clahe(g_imgs) if g_imgs is not None else None
+                host_eq = q_eq is not None and (g_imgs is None or g_eq is not None)
+                if host_eq:
+                    q_imgs = q_eq
+                    g_imgs = g_eq if g_eq is not None else g_imgs
+            _, params, step = self._model_for_block(plan.block, device_clahe=not host_eq)
+            with stage_timer("extract-query", self.verbose):
+                q_maps, q_valid = self._extract(step, params, q_imgs)
         with stage_timer("extract-gallery", self.verbose):
             # the reference re-extracts the whole gallery per cluster
             # (reference run.py:24); merged clusters and warm restarts hit
             # the (model, block, scale)-keyed cache instead
-            gkey = GalleryFeatureCache.key(
-                self.config["model"]["type"], plan.block, plan.scale,
-                self.dataset.gallery_files,
-            )
-            cached = self.gallery_cache.get(gkey)
-            if cached is None:
-                g_maps, g_valid = self._extract(step, params, g_imgs)
-                self.gallery_cache.put(gkey, g_maps, g_valid)
+            if g_cached is not None:
+                g_maps, g_valid = g_cached
             else:
-                g_maps, g_valid = cached
+                if stream:
+                    g_maps, g_valid = self._extract_streamed(
+                        step, params, self.dataset.gallery_dir,
+                        self.dataset.gallery_files, plan.scale, self._g_hdr,
+                    )
+                else:
+                    g_maps, g_valid = self._extract(step, params, g_imgs)
+                self.gallery_cache.put(gkey, g_maps, g_valid)
         with stage_timer("score", self.verbose):
             scores = self._score_cluster(q_maps, q_valid, g_maps, g_valid)
         pairs = self.dataset.matching_pairs(q_files)
