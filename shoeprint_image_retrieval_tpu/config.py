@@ -93,7 +93,14 @@ class TpuConfig(TypedDict, total=True):
             true: the device CLAHE's LUT gathers dominate extraction time
             on TPU (~75% of the step), while the host pass rides the ingest
             thread pool for free. Falls back to the device kernel when the
-            native library or a grayscale batch isn't available.
+            native library or a uint8 gray/RGB batch isn't available.
+        cache_dtype: dtype of gallery feature maps at rest on the HOST for
+            the blocked-gallery streaming path (tpu.gallery_block).
+            ``"bfloat16"`` halves the host->device transfer each block pays;
+            the device cache and all scoring stay f32. Rounds features to
+            ~3e-3 relative, so near-tied ranks can flip vs the f32 path —
+            outside the strict rankings-identical contract (BASELINE.md
+            "rank stability"); default ``"float32"``.
     """
 
     mesh_shape: int
@@ -106,6 +113,7 @@ class TpuConfig(TypedDict, total=True):
     probe_batch: int
     gallery_block: int
     clahe_host: bool
+    cache_dtype: str
 
 
 class Config(TypedDict, total=True):
@@ -128,6 +136,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "probe_batch": 0,
     "gallery_block": 0,
     "clahe_host": True,
+    "cache_dtype": "float32",
 }
 
 

@@ -528,10 +528,7 @@ class Pipeline:
         # cache is a jit *argument* (not a closure capture): jit would
         # constant-fold captured arrays via a device->host pull, and large
         # transfers hang over the axon TPU tunnel.
-        @jax.jit
-        def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
-                        windows, slot_hw, slot_map):
-            packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
+        def score_packed_fn(cache_arg, packed, slot_hw, slot_map):
             if use_pallas:
                 scores = score_direct_pallas(
                     cache_arg, packed, true_channels=true_c, layout=layout,
@@ -545,9 +542,21 @@ class Pipeline:
                 )
             return regroup_max(scores)
 
+        score_packed_j = jax.jit(score_packed_fn)
+
+        @jax.jit
+        def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
+                        windows, slot_hw, slot_map):
+            packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
+            return score_packed_fn(cache_arg, packed, slot_hw, slot_map)
+
         build_packed_j = jax.jit(build_packed)
         regroup_max_j = jax.jit(regroup_max)
-        build_cache_j = jax.jit(build_direct_cache)
+        # cast covers tpu.cache_dtype="bfloat16" host-at-rest maps: the
+        # device cache (demeaned prints + integral images) is always f32
+        build_cache_j = jax.jit(
+            lambda p, v: build_direct_cache(p.astype(jnp.float32), v)
+        )
 
         def pad_batch(arr, lo):
             return jnp.asarray(batch_host(np.asarray(arr), lo))
@@ -559,6 +568,24 @@ class Pipeline:
         inv_order = np.argsort(order)
         g_maps = np.asarray(g_maps)[order]
         g_valid = np.asarray(g_valid)[order]
+
+        # tpu.cache_dtype="bfloat16": gallery maps at rest on host in bf16 —
+        # halves the host->device stream each gallery block pays (cache and
+        # scoring stay f32; features round at ~3e-3 relative, see config.py)
+        if self.config["tpu"].get("cache_dtype") == "bfloat16":
+            import ml_dtypes
+
+            g_maps = g_maps.astype(ml_dtypes.bfloat16)
+
+        n_blocks = -(-g_total // gb)
+        # multi-block galleries: build each probe batch's variant stack ONCE
+        # and reuse it across every block (fused build+score would rebuild
+        # the stack n_blocks times); device memory holds nb stacks of
+        # N x C x hk x wk f32 — capped, falling back to fused build+score
+        # when the stacks would crowd HBM
+        n_pad_rows = -(-layout.n_variants // 8) * 8
+        stack_bytes = n_pad_rows * true_c * kernel_hw[0] * kernel_hw[1] * 4
+        prebuild = n_blocks > 1 and len(starts) * stack_bytes < 6e9
 
         # The (gallery-block x probe-batch) loop is PIPELINED: device score
         # rows are pulled two submissions behind the enqueue front, so the
@@ -575,6 +602,26 @@ class Pipeline:
                 out[lo_d : lo_d + n_take, lo_g:hi_g] = rows[:n_take, : hi_g - lo_g]
                 if self.verbose and hi_g == g_total:
                     print(f"  scored {lo_d + n_take}/{len(q_maps)} queries")
+
+        def slot_args(lo):
+            wins, uniq, smap = batch_windows[lo]
+            slot_hw = np.full((n_slots, 2), 2 * EDGE_CROP + 8, np.int32)
+            slot_hw[: len(uniq)] = uniq
+            return jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap)
+
+        def build_args(lo, wins_d):
+            return (
+                pad_batch(q_maps, lo), pad_batch(q_valid, lo),
+                pad_batch(rot_idx, lo), pad_batch(rot_ok, lo),
+                pad_batch(wv, lo), pad_batch(wh, lo),
+                pad_batch(scale_hw, lo), wins_d,
+            )
+
+        slots_by_lo = {lo: slot_args(lo) for lo in starts}
+        packed_pre: dict[int, object] = {}
+        if prebuild:
+            for lo in starts:
+                packed_pre[lo] = build_packed_j(*build_args(lo, slots_by_lo[lo][0]))
 
         for b_lo in range(0, g_total, gb):
             b_hi = min(b_lo + gb, g_total)
@@ -595,21 +642,20 @@ class Pipeline:
                 )
 
             for lo in starts:
-                wins, uniq, smap = batch_windows[lo]
-                slot_hw = np.full((n_slots, 2), 2 * EDGE_CROP + 8, np.int32)
-                slot_hw[: len(uniq)] = uniq
-                args = (
-                    pad_batch(q_maps, lo), pad_batch(q_valid, lo),
-                    pad_batch(rot_idx, lo), pad_batch(rot_ok, lo),
-                    pad_batch(wv, lo), pad_batch(wh, lo),
-                    pad_batch(scale_hw, lo),
-                    jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap),
-                )
+                wins_d, slot_hw_d, smap_d = slots_by_lo[lo]
                 if mesh is not None:
-                    packed = build_packed_j(*args[:8])
-                    dev_rows = regroup_max_j(scorer_m(packed, args[8], args[9]))
+                    packed = packed_pre.get(lo) if prebuild else None
+                    if packed is None:
+                        packed = build_packed_j(*build_args(lo, wins_d))
+                    dev_rows = regroup_max_j(scorer_m(packed, slot_hw_d, smap_d))
+                elif prebuild:
+                    dev_rows = score_packed_j(
+                        cache, packed_pre[lo], slot_hw_d, smap_d
+                    )
                 else:
-                    dev_rows = score_batch(cache, *args)
+                    dev_rows = score_batch(
+                        cache, *build_args(lo, wins_d), slot_hw_d, smap_d
+                    )
                 pending.append((lo, b_lo, b_hi, dev_rows))
                 drain(2)
             del cache  # retire this block's cache once its scores are enqueued

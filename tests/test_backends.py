@@ -177,6 +177,18 @@ def test_bfloat16_precision_mode_runs(dataset, tmp_path, direct_ranks):
     np.testing.assert_array_equal(ranks, direct_ranks)
 
 
+def test_bf16_cache_dtype_blocked_gallery(dataset, tmp_path, direct_ranks):
+    """tpu.cache_dtype="bfloat16" stores gallery feature maps at rest on the
+    host in bf16 (halving the per-block host->device stream); the device
+    cache and scoring stay f32. Features round at ~3e-3 relative, so this is
+    outside the strict rankings-identical contract — but on this fixture the
+    score gaps are wide, so rankings must still match the f32 path."""
+    ranks = _run(dataset, tmp_path,
+                 'ncc_backend = "pallas"\ngallery_block = 3\n'
+                 'cache_dtype = "bfloat16"')
+    np.testing.assert_array_equal(ranks, direct_ranks)
+
+
 def test_variant_mode_full_scores_rotated_unscaled(tmp_path):
     """The reference composition DROPS rotated-but-unscaled variants when
     both sweeps are set (reference similarity.py:321-353); variant_mode
