@@ -94,6 +94,15 @@ class TpuConfig(TypedDict, total=True):
             on TPU (~75% of the step), while the host pass rides the ingest
             thread pool for free. Falls back to the device kernel when the
             native library or a uint8 gray/RGB batch isn't available.
+        prewarm: compile this cluster's extraction + scoring executables on
+            a background thread concurrently with ingest/extraction (and the
+            NEXT cluster's during scoring). Stage shapes are derived from
+            image headers alone; the dummy warmup work is one gallery block
+            x one probe batch of zeros. The axon TPU service compiles
+            server-side at first execution — outside the JAX persistent
+            cache — so overlap is the only first-run lever; default True.
+            Results are unaffected (the warmup runs the production code
+            path on zero inputs and its outputs are discarded).
         cache_dtype: dtype of gallery feature maps at rest on the HOST for
             the blocked-gallery streaming path (tpu.gallery_block).
             ``"bfloat16"`` halves the host->device transfer each block pays;
@@ -113,6 +122,7 @@ class TpuConfig(TypedDict, total=True):
     probe_batch: int
     gallery_block: int
     clahe_host: bool
+    prewarm: bool
     cache_dtype: str
 
 
@@ -136,6 +146,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "probe_batch": 0,
     "gallery_block": 0,
     "clahe_host": True,
+    "prewarm": True,
     "cache_dtype": "float32",
 }
 

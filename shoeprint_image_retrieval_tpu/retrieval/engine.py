@@ -79,6 +79,15 @@ class Pipeline:
         self.spec = get_backbone(model_cfg["type"])
         self.weights_dir = weights_dir
         self._param_cache: dict[int, tuple] = {}
+        self._scorer_fns: dict[tuple, object] = {}
+        self._warmed: set[tuple] = set()
+        self._prewarm_threads: list = []
+        # the prewarm thread and the main thread both build jit bundles /
+        # model params; one lock keeps each built exactly once so both
+        # threads share the same jit instances (= shared executables)
+        import threading
+
+        self._build_lock = threading.Lock()
         self.gallery_cache = GalleryFeatureCache(config["tpu"]["cache_dir"] or None)
 
         planner_cfg = PlannerConfig(
@@ -113,6 +122,11 @@ class Pipeline:
         gallery cache are identical either way).
         """
         key = (block, device_clahe)
+        with self._build_lock:
+            self._build_model_locked(key, block, device_clahe)
+        return self._param_cache[key]
+
+    def _build_model_locked(self, key, block: int, device_clahe: bool) -> None:
         if key not in self._param_cache:
             from ..models.layers import conv_precision
 
@@ -152,7 +166,6 @@ class Pipeline:
                     return features.apply(p, x, v)
 
             self._param_cache[key] = (features, params, step)
-        return self._param_cache[key]
 
     def _host_clahe(self, images: Sequence[np.ndarray]) -> list[np.ndarray] | None:
         """Equalize on host via the native C++ path when configured and
@@ -374,12 +387,122 @@ class Pipeline:
         mesh_size = self.config["tpu"]["mesh_shape"] or len(jax.devices())
         return min(mesh_size, len(jax.devices()))
 
+    def _scorer_bundle(
+        self, *, true_c, hc, wc, kernel_hw, class_counts, pb, n_rot, n_scl,
+        include_rots_unscaled, use_pallas, dtype, interpret,
+    ):
+        """Jitted scoring closures, memoized on the Pipeline instance.
+
+        jax.jit caches executables per *wrapper object*: round 2 rebuilt
+        these closures on every ``_score_cluster`` call, so two clusters
+        with identical shapes — or the compile prewarm (``tpu.prewarm``)
+        followed by the real run — each paid the full axon server-side
+        compile again. The memo key is everything that changes trace
+        behavior; input shapes key the rest inside jit itself.
+        """
+        key = (true_c, hc, wc, kernel_hw, class_counts, pb, n_rot, n_scl,
+               include_rots_unscaled, use_pallas, str(dtype), interpret)
+        with self._build_lock:
+            return self._scorer_bundle_locked(key, true_c=true_c, hc=hc, wc=wc,
+                kernel_hw=kernel_hw, class_counts=class_counts, pb=pb,
+                n_rot=n_rot, n_scl=n_scl,
+                include_rots_unscaled=include_rots_unscaled,
+                use_pallas=use_pallas, dtype=dtype, interpret=interpret)
+
+    def _scorer_bundle_locked(
+        self, key, *, true_c, hc, wc, kernel_hw, class_counts, pb, n_rot,
+        n_scl, include_rots_unscaled, use_pallas, dtype, interpret,
+    ):
+        from types import SimpleNamespace
+
+        if key in self._scorer_fns:
+            return self._scorer_fns[key]
+
+        layout = VariantLayout(class_counts, pb)
+        b0 = class_counts[0]
+        fold = jax.vmap(fold_template, in_axes=(0, None, None))
+        fold_rs = jax.vmap(fold, in_axes=(0, 0, None))  # over the scale axis
+
+        def build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows):
+            """Class-major folded kernel stack for a probe batch (vmapped)."""
+
+            def one(maps_p, valid_p, ridx_p, rok_p, wv_p, wh_p, shw_p):
+                flat = maps_p.reshape(true_c, hc * wc)
+                rot = jnp.take(flat, ridx_p, axis=1)  # (C, R+1, hc*wc)
+                rot = jnp.moveaxis(rot, 0, 1).reshape(-1, true_c, hc, wc)
+                rot = jnp.where(rok_p[:, None], rot, 0.0)
+                base = rot if include_rots_unscaled else rot[:1]
+                base_k = fold(base, valid_p, kernel_hw)  # (B0, C, hk, wk)
+                if not n_scl:
+                    return (base_k,)
+                # scaled variants of each rotated map: two batched matmuls
+                scaled = jnp.einsum(
+                    "soh,rchw,spw->srcop", wv_p, rot, wh_p, precision="highest"
+                )  # (S, R+1, C, tc0, tc1)
+                return base_k, fold_rs(scaled, shw_p, kernel_hw)
+
+            built = jax.vmap(one)(maps, valid, ridx, rok, wvq, whq, shw)
+            ck = built[0].shape[-3:]
+            kerns = [built[0].reshape(pb * b0, *ck)]
+            if n_scl:
+                scaled_k = built[1]  # (pb, S, R+1, C, hk, wk)
+                for si in range(n_scl):
+                    kerns.append(scaled_k[:, si].reshape(pb * (1 + n_rot), *ck))
+            return PackedVariants(jnp.concatenate(kerns), windows)
+
+        def regroup_max(scores):
+            """Class-major (N, G) scores -> (pb, G) max over each probe's variants."""
+            parts, off = [], 0
+            for cnt in layout.class_counts:
+                parts.append(scores[off : off + pb * cnt].reshape(pb, cnt, -1))
+                off += pb * cnt
+            return jnp.max(jnp.concatenate(parts, axis=1), axis=1)
+
+        # cache is a jit *argument* (not a closure capture): jit would
+        # constant-fold captured arrays via a device->host pull, and large
+        # transfers hang over the axon TPU tunnel.
+        def score_packed_fn(cache_arg, packed, slot_hw, slot_map):
+            if use_pallas:
+                scores = score_direct_pallas(
+                    cache_arg, packed, true_channels=true_c, layout=layout,
+                    slot_hw=slot_hw, slot_map=slot_map, compute_dtype=dtype,
+                    interpret=interpret,
+                )
+            else:
+                scores = score_direct(
+                    cache_arg, packed, true_channels=true_c, layout=layout,
+                    compute_dtype=dtype,
+                )
+            return regroup_max(scores)
+
+        @jax.jit
+        def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
+                        windows, slot_hw, slot_map):
+            packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
+            return score_packed_fn(cache_arg, packed, slot_hw, slot_map)
+
+        fns = SimpleNamespace(
+            layout=layout,
+            build_packed=jax.jit(build_packed),
+            regroup_max=jax.jit(regroup_max),
+            score_packed=jax.jit(score_packed_fn),
+            score_batch=score_batch,
+            # cast covers tpu.cache_dtype="bfloat16" host-at-rest maps: the
+            # device cache (demeaned prints + integral images) is always f32
+            build_cache=jax.jit(
+                lambda p, v: build_direct_cache(p.astype(jnp.float32), v)
+            ),
+        )
+        self._scorer_fns[key] = fns
+        return fns
+
     def _score_cluster(
         self,
         q_maps: np.ndarray,
         q_valid: np.ndarray,
         g_maps: np.ndarray,
         g_valid: np.ndarray,
+        prewarm: bool = False,
     ) -> np.ndarray:
         """(Q, G) max-over-variant score matrix for one cluster.
 
@@ -474,43 +597,17 @@ class Pipeline:
             batch_windows[lo] = (wins, uniq, inv.astype(np.int32))
             n_slots = max(n_slots, len(uniq))
 
-        fold = jax.vmap(fold_template, in_axes=(0, None, None))
-        fold_rs = jax.vmap(fold, in_axes=(0, 0, None))  # over the scale axis
-
-        def build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows):
-            """Class-major folded kernel stack for a probe batch (vmapped)."""
-
-            def one(maps_p, valid_p, ridx_p, rok_p, wv_p, wh_p, shw_p):
-                flat = maps_p.reshape(true_c, hc * wc)
-                rot = jnp.take(flat, ridx_p, axis=1)  # (C, R+1, hc*wc)
-                rot = jnp.moveaxis(rot, 0, 1).reshape(-1, true_c, hc, wc)
-                rot = jnp.where(rok_p[:, None], rot, 0.0)
-                base = rot if include_rots_unscaled else rot[:1]
-                base_k = fold(base, valid_p, kernel_hw)  # (B0, C, hk, wk)
-                if not n_scl:
-                    return (base_k,)
-                # scaled variants of each rotated map: two batched matmuls
-                scaled = jnp.einsum(
-                    "soh,rchw,spw->srcop", wv_p, rot, wh_p, precision="highest"
-                )  # (S, R+1, C, tc0, tc1)
-                return base_k, fold_rs(scaled, shw_p, kernel_hw)
-
-            built = jax.vmap(one)(maps, valid, ridx, rok, wvq, whq, shw)
-            ck = built[0].shape[-3:]
-            kerns = [built[0].reshape(pb * b0, *ck)]
-            if n_scl:
-                scaled_k = built[1]  # (pb, S, R+1, C, hk, wk)
-                for si in range(n_scl):
-                    kerns.append(scaled_k[:, si].reshape(pb * (1 + n_rot), *ck))
-            return PackedVariants(jnp.concatenate(kerns), windows)
-
-        def regroup_max(scores):
-            """Class-major (N, G) scores -> (pb, G) max over each probe's variants."""
-            parts, off = [], 0
-            for cnt in layout.class_counts:
-                parts.append(scores[off : off + pb * cnt].reshape(pb, cnt, -1))
-                off += pb * cnt
-            return jnp.max(jnp.concatenate(parts, axis=1), axis=1)
+        fns = self._scorer_bundle(
+            true_c=true_c, hc=hc, wc=wc, kernel_hw=kernel_hw,
+            class_counts=class_counts, pb=pb, n_rot=n_rot, n_scl=n_scl,
+            include_rots_unscaled=include_rots_unscaled,
+            use_pallas=use_pallas, dtype=dtype, interpret=interpret,
+        )
+        build_packed_j = fns.build_packed
+        regroup_max_j = fns.regroup_max
+        score_packed_j = fns.score_packed
+        score_batch = fns.score_batch
+        build_cache_j = fns.build_cache
 
         # multi-chip: shard the gallery cache over the mesh and score every
         # variant stack against the local shard, all-gathering score rows
@@ -525,39 +622,6 @@ class Pipeline:
         # host shm instead: similarity.py:164-176).
         gb = gb_cfg
 
-        # cache is a jit *argument* (not a closure capture): jit would
-        # constant-fold captured arrays via a device->host pull, and large
-        # transfers hang over the axon TPU tunnel.
-        def score_packed_fn(cache_arg, packed, slot_hw, slot_map):
-            if use_pallas:
-                scores = score_direct_pallas(
-                    cache_arg, packed, true_channels=true_c, layout=layout,
-                    slot_hw=slot_hw, slot_map=slot_map, compute_dtype=dtype,
-                    interpret=interpret,
-                )
-            else:
-                scores = score_direct(
-                    cache_arg, packed, true_channels=true_c, layout=layout,
-                    compute_dtype=dtype,
-                )
-            return regroup_max(scores)
-
-        score_packed_j = jax.jit(score_packed_fn)
-
-        @jax.jit
-        def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
-                        windows, slot_hw, slot_map):
-            packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
-            return score_packed_fn(cache_arg, packed, slot_hw, slot_map)
-
-        build_packed_j = jax.jit(build_packed)
-        regroup_max_j = jax.jit(regroup_max)
-        # cast covers tpu.cache_dtype="bfloat16" host-at-rest maps: the
-        # device cache (demeaned prints + integral images) is always f32
-        build_cache_j = jax.jit(
-            lambda p, v: build_direct_cache(p.astype(jnp.float32), v)
-        )
-
         def pad_batch(arr, lo):
             return jnp.asarray(batch_host(np.asarray(arr), lo))
 
@@ -566,16 +630,27 @@ class Pipeline:
         # group's tallest print; columns are un-permuted on return
         order = np.argsort(-np.asarray(g_valid)[:, 0], kind="stable")
         inv_order = np.argsort(order)
-        g_maps = np.asarray(g_maps)[order]
         g_valid = np.asarray(g_valid)[order]
 
         # tpu.cache_dtype="bfloat16": gallery maps at rest on host in bf16 —
         # halves the host->device stream each gallery block pays (cache and
         # scoring stay f32; features round at ~3e-3 relative, see config.py)
-        if self.config["tpu"].get("cache_dtype") == "bfloat16":
+        bf16_rest = self.config["tpu"].get("cache_dtype") == "bfloat16"
+        if not prewarm:
+            g_maps = np.asarray(g_maps)[order]
+            if bf16_rest:
+                import ml_dtypes
+
+                g_maps = g_maps.astype(ml_dtypes.bfloat16)
+        elif bf16_rest:
+            # prewarm feeds zeros: a broadcast view keeps the dtype — and
+            # thus the compiled signature — identical without materializing
+            # a gallery-sized buffer
             import ml_dtypes
 
-            g_maps = g_maps.astype(ml_dtypes.bfloat16)
+            g_maps = np.broadcast_to(
+                np.zeros((), ml_dtypes.bfloat16), g_maps.shape
+            )
 
         n_blocks = -(-g_total // gb)
         # multi-block galleries: build each probe batch's variant stack ONCE
@@ -586,6 +661,18 @@ class Pipeline:
         n_pad_rows = -(-layout.n_variants // 8) * 8
         stack_bytes = n_pad_rows * true_c * kernel_hw[0] * kernel_hw[1] * 4
         prebuild = n_blocks > 1 and len(starts) * stack_bytes < 6e9
+
+        # compile signature for this cluster's scoring: tpu.prewarm runs
+        # this method once with zero feature maps at the exact shapes the
+        # real run will see (derived from image headers), so every jit
+        # executable below is hot by the time real scoring starts. Repeat
+        # signatures skip the dummy device work entirely.
+        sig = (true_c, hc, wc, kernel_hw, class_counts, pb, n_slots, gb,
+               prebuild, tuple(g_maps.shape), len(q_maps), mesh_size,
+               use_pallas, str(dtype))
+        if prewarm and sig in self._warmed:
+            return np.zeros((len(q_maps), g_total), np.float32)
+        self._warmed.add(sig)
 
         # The (gallery-block x probe-batch) loop is PIPELINED: device score
         # rows are pulled two submissions behind the enqueue front, so the
@@ -600,7 +687,7 @@ class Pipeline:
                 rows = np.asarray(dev_rows)
                 n_take = min(pb, len(q_maps) - lo_d)
                 out[lo_d : lo_d + n_take, lo_g:hi_g] = rows[:n_take, : hi_g - lo_g]
-                if self.verbose and hi_g == g_total:
+                if self.verbose and hi_g == g_total and not prewarm:
                     print(f"  scored {lo_d + n_take}/{len(q_maps)} queries")
 
         def slot_args(lo):
@@ -617,13 +704,19 @@ class Pipeline:
                 pad_batch(scale_hw, lo), wins_d,
             )
 
-        slots_by_lo = {lo: slot_args(lo) for lo in starts}
+        # prewarm compiles every executable with one block x one probe batch
+        # of device work; the loop *structure* (prebuild choice, padding,
+        # drain) is the production path so the signatures cannot drift
+        score_starts = starts[:1] if prewarm else starts
+        block_los = [0] if prewarm else list(range(0, g_total, gb))
+
+        slots_by_lo = {lo: slot_args(lo) for lo in score_starts}
         packed_pre: dict[int, object] = {}
         if prebuild:
-            for lo in starts:
+            for lo in score_starts:
                 packed_pre[lo] = build_packed_j(*build_args(lo, slots_by_lo[lo][0]))
 
-        for b_lo in range(0, g_total, gb):
+        for b_lo in block_los:
             b_hi = min(b_lo + gb, g_total)
             blk, blk_valid = g_maps[b_lo:b_hi], g_valid[b_lo:b_hi]
             if b_hi - b_lo < gb:  # pad the tail block: one compiled shape
@@ -641,7 +734,7 @@ class Pipeline:
                     interpret=interpret,
                 )
 
-            for lo in starts:
+            for lo in score_starts:
                 wins_d, slot_hw_d, smap_d = slots_by_lo[lo]
                 if mesh is not None:
                     packed = packed_pre.get(lo) if prebuild else None
@@ -725,7 +818,148 @@ class Pipeline:
         return out
 
     # ------------------------------------------------------------------
-    def run_cluster(self, plan) -> ClusterOutput:
+    def _prewarm_cluster(self, plan) -> None:
+        """Background compile warmup (``tpu.prewarm``) — must never fail a
+        run: every error is swallowed (the real path compiles on demand as
+        before, so a wrong prediction costs nothing but the saved overlap)."""
+        try:
+            self._prewarm_impl(plan)
+        except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+            if self.verbose:
+                print(f"  (prewarm skipped: {type(exc).__name__}: {exc})")
+
+    def _dir_rgb(self, directory, files) -> bool:
+        from PIL import Image
+
+        with Image.open(Path(directory) / files[0]) as im:
+            return im.mode == "RGB"
+
+    def _prewarm_impl(self, plan) -> None:
+        """Compile this cluster's executables concurrently with its ingest /
+        extraction (VERDICT r2 item 6: the axon service compiles server-side
+        at first execution, outside the JAX persistent cache — so the only
+        lever under repo control is OVERLAP, not reuse across processes).
+
+        Every stage shape is derived from image headers alone (no pixel
+        decode): canvas buckets via the exact ingest arithmetic
+        (:meth:`_ingest_out_hw` + pack_canvas's round-to-64 rule) and
+        feature-space sizes via shape-only traces of the real ``apply``
+        path (models/summary.output_size rationale). The scoring warmup
+        calls :meth:`_score_cluster` itself with ``prewarm=True`` — one
+        gallery block x one probe batch of zero-filled device work through
+        the production loop, so jit signatures cannot drift from the real
+        run's.
+        """
+        crop = self.config["dataset"]["crop"]
+        q_files = sorted(plan.files)
+        gkey = GalleryFeatureCache.key(
+            self.config["model"]["type"], plan.block, plan.scale,
+            self.dataset.gallery_files,
+        )
+        g_cached = self.gallery_cache.get(gkey)
+        stream = self._stream_applicable(
+            self.dataset.query_dir, q_files, self._q_hdr, plan.scale
+        ) and (
+            g_cached is not None
+            or self._stream_applicable(
+                self.dataset.gallery_dir, self.dataset.gallery_files,
+                self._g_hdr, plan.scale,
+            )
+        )
+        features, params, step = self._model_for_block(
+            plan.block, device_clahe=not stream
+        )
+
+        def canvas64(outs):
+            return (
+                -(-max(h for h, _ in outs) // 64) * 64,
+                -(-max(w for _, w in outs) // 64) * 64,
+            )
+
+        q_out = [self._ingest_out_hw(self._q_hdr[f], crop, plan.scale) for f in q_files]
+        canvas_q = canvas64(q_out)
+        bs = max(1, self.config["tpu"]["extraction_batch"])
+
+        def warm_step(canvas, rgb):
+            shape = (bs, *canvas, 3) if rgb else (bs, *canvas)
+            jax.block_until_ready(step(
+                params, jnp.asarray(np.zeros(shape, np.uint8)),
+                jnp.asarray(np.ones((bs, 2), np.int32)),
+            ))
+
+        # query-canvas extraction: only worth warming when the main thread
+        # is still in its serial ingest stage (the streamed path starts
+        # extracting — and therefore compiling this exact signature —
+        # within a second; racing it would just compile twice)
+        if not stream:
+            warm_step(canvas_q, self._dir_rgb(self.dataset.query_dir, q_files))
+
+        canvas_g = None
+        if g_cached is None:
+            g_out = [
+                self._ingest_out_hw(self._g_hdr[f], crop, plan.scale)
+                for f in self.dataset.gallery_files
+            ]
+            canvas_g = canvas64(g_out)
+            if canvas_g != canvas_q:
+                # gallery extraction compiles while queries extract
+                warm_step(
+                    canvas_g,
+                    self._dir_rgb(self.dataset.gallery_dir, self.dataset.gallery_files),
+                )
+
+        # ---- scoring: shape-only traces give the feature-space sizes the
+        # masked layers will produce (exact conv/pool arithmetic) ----------
+        params_shape = jax.eval_shape(lambda k: features.init(k), jax.random.PRNGKey(0))
+        feat_cache: dict[tuple[int, int], tuple[int, int, int]] = {}
+
+        def feat_chw(hw):
+            if hw not in feat_cache:
+                maps, _ = jax.eval_shape(
+                    features.apply, params_shape,
+                    jax.ShapeDtypeStruct((1, 3, hw[0], hw[1]), "float32"),
+                    jax.ShapeDtypeStruct((1, 2), "int32"),
+                )
+                feat_cache[hw] = (maps.shape[1], maps.shape[2], maps.shape[3])
+            return feat_cache[hw]
+
+        c, hfq, wfq = feat_chw(canvas_q)
+        q_valid_f = np.array([feat_chw(o)[1:] for o in q_out], np.int32)
+        if g_cached is not None:
+            g_shape = tuple(g_cached[0].shape)
+            g_valid_f = np.asarray(g_cached[1])
+        else:
+            _, hfg, wfg = feat_chw(canvas_g)
+            g_valid_f = np.array([feat_chw(o)[1:] for o in g_out], np.int32)
+            g_shape = (len(g_out), c, hfg, wfg)
+        qz = np.zeros((len(q_files), c, hfq, wfq), np.float32)
+        gz = np.broadcast_to(np.zeros((), np.float32), g_shape)
+        self._score_cluster(qz, q_valid_f, gz, g_valid_f, prewarm=True)
+        if self.verbose:
+            print("  (prewarm: extraction + scoring executables compiled)")
+
+    def _spawn_prewarm(self, plan) -> None:
+        if not (
+            self.config["tpu"].get("prewarm", True)
+            and self._mesh_size() == 1
+            and self._resolve_backend() != "fft"
+        ):
+            return
+        if id(plan) in getattr(self, "_plans_spawned", set()):
+            return  # already warmed as a next_plan lookahead
+        self._plans_spawned = getattr(self, "_plans_spawned", set()) | {id(plan)}
+        import threading
+
+        t = threading.Thread(
+            target=self._prewarm_cluster, args=(plan,), daemon=True,
+            name="shoeprint-prewarm",
+        )
+        t.start()
+        self._prewarm_threads.append(t)
+
+    # ------------------------------------------------------------------
+    def run_cluster(self, plan, next_plan=None) -> ClusterOutput:
+        self._spawn_prewarm(plan)
         crop = self.config["dataset"]["crop"]
         n_threads = self.config["dataset"]["n_processes"]
         q_files = sorted(plan.files)
@@ -795,6 +1029,9 @@ class Pipeline:
                 else:
                     g_maps, g_valid = self._extract(step, params, g_imgs)
                 self.gallery_cache.put(gkey, g_maps, g_valid)
+        if next_plan is not None:
+            # the next cluster's compiles overlap this cluster's scoring
+            self._spawn_prewarm(next_plan)
         with stage_timer("score", self.verbose):
             scores = self._score_cluster(q_maps, q_valid, g_maps, g_valid)
         pairs = self.dataset.matching_pairs(q_files)
@@ -811,8 +1048,9 @@ class Pipeline:
         return ClusterOutput(ranks, pairs, len(q_files), plan.block, plan.scale)
 
     def run(self):
-        for plan in self.plans:
+        for i, plan in enumerate(self.plans):
             if self.verbose:
                 print(f"Cluster has {len(plan.files)} items.")
+            nxt = self.plans[i + 1] if i + 1 < len(self.plans) else None
             with profile_trace(self.config["tpu"].get("profile_dir") or None):
-                yield self.run_cluster(plan)
+                yield self.run_cluster(plan, next_plan=nxt)

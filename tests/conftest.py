@@ -24,6 +24,14 @@ assert len(jax.devices()) == 8, jax.devices()
 
 import pytest  # noqa: E402
 
+# tpu.prewarm overlaps compiles with ingest on a background thread — a win
+# on the axon TPU (server-side compile) but pure duplicated work on this
+# single-core CPU test host, so the suite default is off. Coverage lives in
+# test_pipeline.test_prewarm_* which set `prewarm = true` explicitly.
+from shoeprint_image_retrieval_tpu import config as _sir_config  # noqa: E402
+
+_sir_config._TPU_DEFAULTS["prewarm"] = False
+
 # Integration tiers: `pytest -m quick` runs the fast oracle/unit tests
 # (~1-2 min); the files below compile whole pipelines on the CPU mesh and
 # carry the suite's wall-clock (VERDICT round 1: a quick tier pays for

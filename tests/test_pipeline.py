@@ -143,6 +143,32 @@ def test_pipeline_deterministic(dataset, tmp_path):
     assert r1 == r2
 
 
+def test_prewarm_matches_control_and_predicts_shapes(dataset, tmp_path):
+    """tpu.prewarm compiles on a background thread from image headers alone;
+    it must (a) leave rankings untouched and (b) predict the scoring compile
+    signature EXACTLY — the real run must find its signature already in
+    ``Pipeline._warmed`` (one signature per cluster, not two), proving the
+    header-derived canvas/feature/valid arithmetic matches extraction."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(RUN_TOML.format(dir=str(dataset)) + "prewarm = true\n")
+    config = load_config(cfg_path)
+    pipe = Pipeline(config, weights_dir=None, verbose=False)
+    ranks = [o.ranks.tolist() for o in pipe.run()]
+    for t in pipe._prewarm_threads:
+        t.join(timeout=120)
+    # exactly one scoring signature per cluster: prewarm's prediction and
+    # the real run agreed (a mismatch would add a second signature)
+    assert len(pipe._warmed) == len(pipe.plans), pipe._warmed
+
+    cfg2 = tmp_path / "run_off.toml"
+    cfg2.write_text(RUN_TOML.format(dir=str(dataset)) + "prewarm = false\n")
+    control = [
+        o.ranks.tolist()
+        for o in Pipeline(load_config(cfg2), weights_dir=None, verbose=False).run()
+    ]
+    assert ranks == control
+
+
 def test_gallery_cache_roundtrip(tmp_path):
     """RAM + disk gallery feature cache (SURVEY.md section 5: the reference's
     gitignored Memmaps experiments, now a real subsystem)."""
