@@ -8,14 +8,41 @@ the reference hardcodes the name), iterates size clusters, and prints one
 """
 
 import sys
+from pathlib import Path
 
 from shoeprint_image_retrieval_tpu.config import load_config
 from shoeprint_image_retrieval_tpu.metrics import cmp_all
 from shoeprint_image_retrieval_tpu.retrieval.engine import Pipeline
 
+_SYNTHETIC = "SyntheticImpress"
+
+
+def _ensure_dataset(config) -> None:
+    """First-run quick start: the shipped run.toml points at the committed
+    synthetic-Impress fixture; generate it on demand so a fresh checkout's
+    ``python run.py`` works end-to-end. Any OTHER missing dataset dir is a
+    user error and gets a clear message instead of a deep traceback."""
+    d = Path(config["dataset"]["dir"])
+    if d.is_dir():
+        return
+    if _SYNTHETIC in d.parts:
+        print(f"Dataset {d} not found - generating the synthetic Impress "
+              "fixture (scripts/make_synthetic_impress.py)...")
+        from scripts.make_synthetic_impress import generate
+
+        generate(d)
+        return
+    raise SystemExit(
+        f"Dataset directory {d} does not exist. Point [dataset].dir at a "
+        "reference-layout dataset (Gallery/ + Query/, see "
+        "datasets/create_dataset.sh), or keep the default SyntheticImpress "
+        "path to auto-generate a fixture."
+    )
+
 
 def main() -> None:
     config = load_config(sys.argv[1] if len(sys.argv) > 1 else "run.toml")
+    _ensure_dataset(config)
     pipeline = Pipeline(config)
     for out in pipeline.run():
         print("Calculating ranks:")

@@ -70,21 +70,17 @@ def degrade(rng: np.random.Generator, crop: np.ndarray) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("out", nargs="?", default="datasets/SyntheticImpress/Dataset")
-    ap.add_argument("--gallery", type=int, default=120)
-    ap.add_argument("--queries", type=int, default=30)
-    ap.add_argument("--seed", type=int, default=20260816)
-    args = ap.parse_args()
-
-    rng = np.random.default_rng(args.seed)
-    root = Path(args.out)
+def generate(out_dir, gallery: int = 120, queries: int = 30,
+             seed: int = 20260816) -> None:
+    """Write the seeded fixture under ``out_dir`` (run.py's quick-start
+    auto-generation calls this on a fresh checkout)."""
+    rng = np.random.default_rng(seed)
+    root = Path(out_dir)
     (root / "Gallery").mkdir(parents=True, exist_ok=True)
     (root / "Query").mkdir(parents=True, exist_ok=True)
 
     prints = {}
-    for gid in range(1, args.gallery + 1):
+    for gid in range(1, gallery + 1):
         h = int(rng.integers(640, 760))
         w = int(rng.integers(520, 620))
         img = tread_print(rng, h, w)
@@ -93,8 +89,8 @@ def main() -> None:
 
     # two size regimes -> two planner clusters
     regimes = [(0.45, 0.55), (0.75, 0.9)]
-    for qi in range(args.queries):
-        gid = int(rng.integers(1, args.gallery + 1))
+    for qi in range(queries):
+        gid = int(rng.integers(1, gallery + 1))
         src = prints[gid]
         lo, hi = regimes[qi % len(regimes)]
         ch = int(src.shape[0] * rng.uniform(lo, hi))
@@ -104,7 +100,17 @@ def main() -> None:
         crop = degrade(rng, src[y0 : y0 + ch, x0 : x0 + cw])
         Image.fromarray(crop).save(root / "Query" / f"{gid}_q{qi}.jpg", quality=92)
 
-    print(f"wrote {args.gallery} gallery prints + {args.queries} queries under {root}")
+    print(f"wrote {gallery} gallery prints + {queries} queries under {root}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default="datasets/SyntheticImpress/Dataset")
+    ap.add_argument("--gallery", type=int, default=120)
+    ap.add_argument("--queries", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=20260816)
+    args = ap.parse_args()
+    generate(args.out, args.gallery, args.queries, args.seed)
 
 
 if __name__ == "__main__":

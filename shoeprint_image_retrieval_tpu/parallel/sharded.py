@@ -69,13 +69,20 @@ def make_sharded_scorer(mesh, sharded_cache: GalleryCache, *, true_channels: int
         check_vma=False,
     )
 
+    # the cache is a jit *argument*, never a closure capture: captured
+    # arrays trace as constants, and constant-folding pulls them
+    # device->host — a transfer that hangs over the axon TPU tunnel at
+    # real cache sizes (same rule as engine._score_cluster)
     @jax.jit
+    def score_impl(phat, int1, int2, gvalid, templates, tvalid):
+        s = mapped(phat, int1, int2, gvalid, templates, tvalid)
+        return s[:, :g_true] if g_true is not None else s
+
     def score(templates, tvalid):
-        s = mapped(
+        return score_impl(
             sharded_cache.phat, sharded_cache.int1, sharded_cache.int2,
             sharded_cache.valid_hw, templates, tvalid,
         )
-        return s[:, :g_true] if g_true is not None else s
 
     return score
 
@@ -131,14 +138,20 @@ def make_sharded_packed_scorer(
         check_vma=False,
     )
 
+    # cache as jit argument, not closure capture (see make_sharded_scorer):
+    # captured arrays constant-fold through a device->host pull that hangs
+    # over the axon tunnel at real cache sizes
     @jax.jit
+    def score_impl(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
+        s = mapped(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map)
+        return s[:, :g_true] if g_true is not None else s
+
     def score(packed: PackedVariants, slot_hw, slot_map):
-        s = mapped(
+        return score_impl(
             sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
             sharded_cache.valid_hw, packed.kernels, packed.window_hw,
             slot_hw, slot_map,
         )
-        return s[:, :g_true] if g_true is not None else s
 
     return score
 
@@ -170,12 +183,16 @@ def make_sharded_direct_scorer(mesh, sharded_cache, *, true_channels: int,
         check_vma=False,
     )
 
+    # cache as jit argument, not closure capture (see make_sharded_scorer)
     @jax.jit
+    def score_impl(p0, int1, int2, gvalid, groups):
+        s = mapped(p0, int1, int2, gvalid, groups)
+        return s[:, :g_true] if g_true is not None else s
+
     def score(groups):
-        s = mapped(
+        return score_impl(
             sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
             sharded_cache.valid_hw, groups,
         )
-        return s[:, :g_true] if g_true is not None else s
 
     return score
