@@ -87,6 +87,59 @@ def make_sharded_scorer(mesh, sharded_cache: GalleryCache, *, true_channels: int
     return score
 
 
+def make_sharded_packed_builder(mesh, build_kernels, class_counts, pb: int):
+    """Probe-sharded variant-stack build over the mesh.
+
+    The packed stack the sharded scorer consumes is replicated, but its
+    CONSTRUCTION (rotation gathers + two resize einsums + fold per variant,
+    engine build_kernels) need not run replicated: each device builds its
+    ``pb / n`` probes' variants and the global class-major row stack is
+    reassembled by one tiled all_gather per class. Without this the build
+    is the serial term in the multi-chip speedup (Amdahl: ~0.3 s/batch of
+    the ~3.6 s PB=56 step doesn't shard; BASELINE.md projection section).
+
+    ``build_kernels`` must be shape-generic in the probe axis and return
+    class-major rows (engine._scorer_bundle.build_kernels). ``pb`` must be
+    divisible by the mesh size (the engine rounds it up).
+    """
+    n = mesh.shape[GALLERY_AXIS]
+    pb_local = pb // n
+
+    def local(maps, valid, ridx, rok, wvq, whq, shw):
+        kerns = build_kernels(maps, valid, ridx, rok, wvq, whq, shw)
+        # local rows are class-major over pb_local probes; per class, the
+        # probe axis gathers across devices back into global probe-major
+        out, off = [], 0
+        for cnt in class_counts:
+            seg = kerns[off : off + pb_local * cnt]
+            out.append(jax.lax.all_gather(seg, GALLERY_AXIS, axis=0, tiled=True))
+            off += pb_local * cnt
+        return jnp.concatenate(out)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(GALLERY_AXIS),) * 7,
+        out_specs=P(),
+        # the tiled all_gathers leave every device with identical full rows
+        check_vma=False,
+    )
+
+    @jax.jit
+    def build(maps, valid, ridx, rok, wvq, whq, shw, windows):
+        return PackedVariants(
+            mapped(maps, valid, ridx, rok, wvq, whq, shw), windows
+        )
+
+    return build
+
+
+# one jitted impl per (mesh, workload statics): the engine's gallery-block
+# loop calls make_sharded_packed_scorer once per ~2 GB block — without this
+# memo every block re-jits (and re-compiles) an identical program
+_packed_scorer_impls: dict = {}
+
+
 def make_sharded_packed_scorer(
     mesh,
     sharded_cache: DirectGalleryCache,
@@ -109,42 +162,51 @@ def make_sharded_packed_scorer(
     tiled ``all_gather``.
     """
 
-    def local(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
-        local_cache = DirectGalleryCache(p0, int1, int2, gvalid)
-        packed = PackedVariants(kernels, window_hw)
-        if use_pallas:
-            s = score_direct_pallas(
-                local_cache, packed, true_channels=true_channels,
-                layout=layout, slot_hw=slot_hw, slot_map=slot_map,
-                compute_dtype=compute_dtype, interpret=interpret,
-            )
-        else:
-            s = score_direct(
-                local_cache, packed, true_channels=true_channels,
-                layout=layout, compute_dtype=compute_dtype,
-            )
-        return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
-
-    mapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
-            P(GALLERY_AXIS), P(), P(), P(), P(),
-        ),
-        out_specs=P(),
-        # after the tiled all_gather every device holds identical full rows;
-        # the static vma checker cannot infer that, so it is disabled here
-        check_vma=False,
+    impl_key = (
+        mesh, true_channels, layout, g_true, use_pallas,
+        str(compute_dtype), interpret,
     )
+    score_impl = _packed_scorer_impls.get(impl_key)
+    if score_impl is None:
 
-    # cache as jit argument, not closure capture (see make_sharded_scorer):
-    # captured arrays constant-fold through a device->host pull that hangs
-    # over the axon tunnel at real cache sizes
-    @jax.jit
-    def score_impl(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
-        s = mapped(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map)
-        return s[:, :g_true] if g_true is not None else s
+        def local(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
+            local_cache = DirectGalleryCache(p0, int1, int2, gvalid)
+            packed = PackedVariants(kernels, window_hw)
+            if use_pallas:
+                s = score_direct_pallas(
+                    local_cache, packed, true_channels=true_channels,
+                    layout=layout, slot_hw=slot_hw, slot_map=slot_map,
+                    compute_dtype=compute_dtype, interpret=interpret,
+                )
+            else:
+                s = score_direct(
+                    local_cache, packed, true_channels=true_channels,
+                    layout=layout, compute_dtype=compute_dtype,
+                )
+            return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
+
+        mapped = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
+                P(GALLERY_AXIS), P(), P(), P(), P(),
+            ),
+            out_specs=P(),
+            # after the tiled all_gather every device holds identical full
+            # rows; the static vma checker cannot infer that
+            check_vma=False,
+        )
+
+        # cache as jit argument, not closure capture (see make_sharded_scorer):
+        # captured arrays constant-fold through a device->host pull that hangs
+        # over the axon tunnel at real cache sizes
+        @jax.jit
+        def score_impl(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
+            s = mapped(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map)
+            return s[:, :g_true] if g_true is not None else s
+
+        _packed_scorer_impls[impl_key] = score_impl
 
     def score(packed: PackedVariants, slot_hw, slot_map):
         return score_impl(

@@ -49,7 +49,11 @@ from ..ops.ncc_direct import (
 )
 from ..ops.pallas.ncc_kernel import auto_probe_rows, score_direct_pallas
 from ..parallel.mesh import GALLERY_AXIS, build_mesh
-from ..parallel.sharded import make_sharded_packed_scorer, shard_cache
+from ..parallel.sharded import (
+    make_sharded_packed_builder,
+    make_sharded_packed_scorer,
+    shard_cache,
+)
 from ..ops.preprocess import normalize_batch
 from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
 from ..utils.tracing import profile_trace, stage_timer
@@ -423,8 +427,10 @@ class Pipeline:
         fold = jax.vmap(fold_template, in_axes=(0, None, None))
         fold_rs = jax.vmap(fold, in_axes=(0, 0, None))  # over the scale axis
 
-        def build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows):
-            """Class-major folded kernel stack for a probe batch (vmapped)."""
+        def build_kernels(maps, valid, ridx, rok, wvq, whq, shw):
+            """Class-major folded kernel rows for ANY number of probes
+            (shape-generic in axis 0: the sharded builder calls it with the
+            local probe shard, the single-device path with the full batch)."""
 
             def one(maps_p, valid_p, ridx_p, rok_p, wv_p, wh_p, shw_p):
                 flat = maps_p.reshape(true_c, hc * wc)
@@ -441,14 +447,21 @@ class Pipeline:
                 )  # (S, R+1, C, tc0, tc1)
                 return base_k, fold_rs(scaled, shw_p, kernel_hw)
 
+            n_p = maps.shape[0]
             built = jax.vmap(one)(maps, valid, ridx, rok, wvq, whq, shw)
             ck = built[0].shape[-3:]
-            kerns = [built[0].reshape(pb * b0, *ck)]
+            kerns = [built[0].reshape(n_p * b0, *ck)]
             if n_scl:
-                scaled_k = built[1]  # (pb, S, R+1, C, hk, wk)
+                scaled_k = built[1]  # (n_p, S, R+1, C, hk, wk)
                 for si in range(n_scl):
-                    kerns.append(scaled_k[:, si].reshape(pb * (1 + n_rot), *ck))
-            return PackedVariants(jnp.concatenate(kerns), windows)
+                    kerns.append(scaled_k[:, si].reshape(n_p * (1 + n_rot), *ck))
+            return jnp.concatenate(kerns)
+
+        def build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows):
+            """Class-major folded kernel stack for a probe batch (vmapped)."""
+            return PackedVariants(
+                build_kernels(maps, valid, ridx, rok, wvq, whq, shw), windows
+            )
 
         def regroup_max(scores):
             """Class-major (N, G) scores -> (pb, G) max over each probe's variants."""
@@ -483,6 +496,8 @@ class Pipeline:
 
         fns = SimpleNamespace(
             layout=layout,
+            builders={},  # mesh -> sharded probe-parallel stack builder
+            build_kernels=build_kernels,  # unjitted: the sharded builder wraps it
             build_packed=jax.jit(build_packed),
             regroup_max=jax.jit(regroup_max),
             score_packed=jax.jit(score_packed_fn),
@@ -572,6 +587,9 @@ class Pipeline:
             1, n_rows_max // max(1, n_var)
         )
         pb = max(1, min(len(q_maps), pb))
+        if mesh_size > 1:
+            # probe-sharded variant build: each device builds pb/mesh probes
+            pb = -(-pb // mesh_size) * mesh_size
         layout = VariantLayout(class_counts, pb)
 
         # host-side window-size dedup: every group's post-crop window is
@@ -614,6 +632,17 @@ class Pipeline:
         # over ICI (SURVEY.md section 2.4; tpu.mesh_shape, 0 = all devices).
         # The sharded path runs the SAME backend kernel per shard.
         mesh = build_mesh(mesh_size) if mesh_size > 1 else None
+        build_fn = build_packed_j
+        if mesh is not None:
+            # probe-sharded stack build: the per-batch variant construction
+            # is the serial (Amdahl) term of gallery sharding if it runs
+            # replicated — each device builds pb/mesh probes' variants and
+            # one tiled all_gather per class reassembles the global stack
+            if mesh not in fns.builders:
+                fns.builders[mesh] = make_sharded_packed_builder(
+                    mesh, fns.build_kernels, class_counts, pb
+                )
+            build_fn = fns.builders[mesh]
 
         # gallery blocking (tpu.gallery_block): bound device memory for huge
         # galleries — the direct cache is built and scored per block of
@@ -714,7 +743,7 @@ class Pipeline:
         packed_pre: dict[int, object] = {}
         if prebuild:
             for lo in score_starts:
-                packed_pre[lo] = build_packed_j(*build_args(lo, slots_by_lo[lo][0]))
+                packed_pre[lo] = build_fn(*build_args(lo, slots_by_lo[lo][0]))
 
         for b_lo in block_los:
             b_hi = min(b_lo + gb, g_total)
@@ -739,7 +768,7 @@ class Pipeline:
                 if mesh is not None:
                     packed = packed_pre.get(lo) if prebuild else None
                     if packed is None:
-                        packed = build_packed_j(*build_args(lo, wins_d))
+                        packed = build_fn(*build_args(lo, wins_d))
                     dev_rows = regroup_max_j(scorer_m(packed, slot_hw_d, smap_d))
                 elif prebuild:
                     dev_rows = score_packed_j(
