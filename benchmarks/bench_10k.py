@@ -66,7 +66,7 @@ def make_block_generator(nb: int, c: int, hi: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--g", type=int, default=10240)
-    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--block", type=int, default=0)  # 0 = auto from HBM
     ap.add_argument("--pb", type=int, default=128)  # n_pad=128: full MXU M tiles
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--sweep", action="store_true")
@@ -102,14 +102,35 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
     n_var_log = 1 + (1 + len(rotations)) * len(scales)
-    log(f"G={G} in blocks of {BLK}; C={C}; PB={PB} probes "
-        f"({n_var_log} variant(s) each, {QB}/call)")
 
     rng = np.random.default_rng(7)
     hc = wc = q_hi
     smax = max([1.0] + scales)
     tc = (max(hc, int(hc * smax)), max(wc, int(wc * smax)))
     kernel_hw = (tc[0] - 4, tc[1] - 4)
+
+    if not BLK:
+        # auto: largest block whose scoring-graph HBM peak fits, given the
+        # prebuilt variant stacks stay resident (hand-picked 512 OOMed the
+        # part in sweep mode: the bigger sweep canvas crosses a 128-lane
+        # packing cliff in the kernel operand). Snapped to a divisor of G
+        # so every block has one compiled shape.
+        from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+            auto_gallery_block,
+        )
+
+        n_rows = -(-QB * n_var_log // 8) * 8
+        stack_b = n_rows * C * kernel_hw[0] * kernel_hw[1] * 4
+        n_stacks = -(-PB // QB)
+        blk = auto_gallery_block(
+            g_hi - 4, g_hi - 4, kernel_hw[0], kernel_hw[1],
+            c_pad=-(-C // 8) * 8, resident_bytes=n_stacks * stack_b,
+        )
+        BLK = max(d for d in range(1, min(blk, G) + 1) if G % d == 0)
+        BLK = max(BLK, min(PB, G))  # probes are planted in block 0
+
+    log(f"G={G} in blocks of {BLK}; C={C}; PB={PB} probes "
+        f"({n_var_log} variant(s) each, {QB}/call)")
 
     # probes are noisy crops of block-0 prints: each has a PLANTED true
     # match so the oracle rank check is meaningful (random-vs-random scores

@@ -84,10 +84,15 @@ class TpuConfig(TypedDict, total=True):
         probe_batch: probes scored per jitted scoring call; 0 = auto (size
             the batch so the variant stack fills the scoring kernel's MXU
             output axis with ~1400 rows, the scoped-VMEM feasibility edge).
-        gallery_block: gallery prints per scoring pass; 0 = all at once.
-            Blocks bound device memory for huge galleries (the 10k-print
-            WVU-scale config): the direct cache is built and scored one
-            block at a time, scores concatenated on host.
+        gallery_block: gallery prints per scoring pass; 0 = auto (derive
+            the largest block whose scoring-graph HBM peak fits the device
+            — ``ops.pallas.ncc_kernel.auto_gallery_block`` — so huge
+            galleries block themselves instead of OOMing; galleries that
+            fit in one shot stay unblocked). Blocks bound device memory
+            for huge galleries (the 10k-print WVU-scale config): the
+            direct cache is built and scored one block at a time, scores
+            concatenated on host. ``SIR_HBM_BYTES`` overrides the detected
+            HBM size.
         clahe_host: run CLAHE in the native C++ ingest path (bit-exact vs
             both cv2 and the device kernel) instead of on device. Default
             true: the device CLAHE's LUT gathers dominate extraction time

@@ -346,6 +346,91 @@ def vmem_cap_bytes() -> int:
     return device_vmem_bytes() - 1024 * 1024
 
 
+_HBM_BY_KIND = {
+    # usable HBM per chip (bytes_limit as the runtime reports it; the raw
+    # part size minus the runtime's reserved slice). v5e: 16 GiB part,
+    # observed limit 15.75 GB.
+    "TPU v4": int(31.5e9),
+    "TPU v5 lite": int(15.75e9),
+    "TPU v5e": int(15.75e9),
+    "TPU v5p": int(94.5e9),
+    "TPU v5": int(15.75e9),
+    "TPU v6 lite": int(31.5e9),
+    "TPU v6e": int(31.5e9),
+}
+
+
+def device_hbm_bytes() -> int:
+    """Usable HBM of the attached device: env override, runtime-reported
+    limit when available, else a per-generation table."""
+    env = os.environ.get("SIR_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = ""
+    for prefix, size in _HBM_BY_KIND.items():
+        if kind.startswith(prefix):
+            return size
+    return int(15.75e9)
+
+
+def gallery_block_bytes_per_print(
+    hb: int, wb: int, hk: int, wk: int, *, c_pad: int, gt: int | None = None,
+) -> int:
+    """Peak scoring-graph HBM per gallery print.
+
+    Counts the per-block direct cache (p0 + two integral images) plus the
+    kernel-operand build temps inside the scoring jit: the packed,
+    edge-extended integral stack ``int12p`` and packed prints ``p0p``
+    (x2 each — XLA keeps the pre-concat halves alive at the concatenate,
+    the measured dominant temp: at C=176, hb=wb~42, hk=wk=34 this model
+    gives ~40 MB/print, matching the observed fit at 256-print blocks +
+    2.6 GB resident and OOM at 512 on a 15.75 GB part).
+    """
+    gt = gt or max(1, min(4, 128 // max(1, wb)))
+    hb_pad = -(-hb // 8) * 8
+    ws = wb + wk - 1
+    top = hk // 2 + 1
+    bot = top + 1 + (hb_pad - hb)
+    he = -(-(hb + 1 + top + bot) // 8) * 8
+    we = wb + 1 + top + bot
+    wi = -(-(gt * we) // 128) * 128
+    cache_b = c_pad * (hb * wb + 2 * (hb + 1) * (wb + 1)) * 4
+    int12_b = c_pad * 2 * he * wi * 4 // gt  # packed operand, per print
+    p0p_b = c_pad * hb * gt * ws * 4 // gt
+    return int(cache_b + 2 * int12_b + 2 * p0p_b)
+
+
+def auto_gallery_block(
+    hb: int, wb: int, hk: int, wk: int, *,
+    c_pad: int, resident_bytes: int = 0, gt: int | None = None,
+    safety_bytes: int = int(2.0e9),
+) -> int:
+    """Largest gallery block whose scoring-graph peak fits device HBM.
+
+    ``resident_bytes`` is what the caller keeps alive across block scoring
+    calls (prebuilt variant stacks, the kernel operand stack, probe
+    canvases); ``safety_bytes`` covers runtime reserve + fragmentation +
+    host-transfer staging. Replaces hand-picked block sizes the same way
+    :func:`auto_probe_rows` replaced the VMEM row constant — a gallery too
+    big for one shot (e.g. full WVU2019 at 176 channels) blocks itself
+    instead of OOMing.
+    """
+    gt = gt or max(1, min(4, 128 // max(1, wb)))
+    budget = device_hbm_bytes() - resident_bytes - safety_bytes
+    per = gallery_block_bytes_per_print(hb, wb, hk, wk, c_pad=c_pad, gt=gt)
+    return max(gt, (int(budget // per) // gt) * gt)
+
+
 def auto_probe_rows(
     hb: int, wb: int, hk: int, wk: int, *,
     n_var: int, n_classes: int, g_pad: int,

@@ -47,7 +47,11 @@ from ..ops.ncc_direct import (
     fold_template,
     score_direct,
 )
-from ..ops.pallas.ncc_kernel import auto_probe_rows, score_direct_pallas
+from ..ops.pallas.ncc_kernel import (
+    auto_gallery_block,
+    auto_probe_rows,
+    score_direct_pallas,
+)
 from ..parallel.mesh import GALLERY_AXIS, build_mesh
 from ..parallel.sharded import (
     make_sharded_packed_builder,
@@ -573,11 +577,35 @@ class Pipeline:
         gal_wb = g_maps.shape[3] - 2 * EDGE_CROP
         g_total = len(g_maps)
         mesh_size = self._mesh_size()
-        gb_cfg = self.config["tpu"].get("gallery_block", 0) or g_total
+        gt_pack = max(1, min(4, 128 // max(1, gal_wb)))
+        gb_cfg = self.config["tpu"].get("gallery_block", 0)
+        if not gb_cfg:
+            # 0 = auto: the largest block whose scoring-graph HBM peak
+            # (per-block cache + packed kernel-operand build temps) fits the
+            # device, so a full WVU-scale gallery blocks itself instead of
+            # OOMing; an explicit user value is honored verbatim. The
+            # resident estimate assumes the prebuilt-variant-stack path
+            # (conservative for single-block runs).
+            c_pad8 = -(-true_c // 8) * 8
+            n_rows_est = auto_probe_rows(
+                gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
+                n_var=n_var, n_classes=len(class_counts),
+                g_pad=-(-min(g_total, 1024) // gt_pack) * gt_pack,
+            )
+            pb_est = max(1, min(len(q_maps), n_rows_est // max(1, n_var)))
+            stack_b = ((-(-pb_est * n_var // 8) * 8)
+                       * c_pad8 * kernel_hw[0] * kernel_hw[1] * 4)
+            n_starts_est = -(-len(q_maps) // pb_est)
+            resident = min(
+                n_starts_est, max(1, int(6e9 // max(1, stack_b)))
+            ) * stack_b
+            gb_cfg = auto_gallery_block(
+                gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
+                c_pad=c_pad8, resident_bytes=resident, gt=gt_pack,
+            )
         gb_cfg = min(gb_cfg, g_total)
         if mesh_size > 1:
             gb_cfg = -(-gb_cfg // mesh_size) * mesh_size
-        gt_pack = max(1, min(4, 128 // max(1, gal_wb)))
         n_rows_max = auto_probe_rows(
             gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
             n_var=n_var, n_classes=len(class_counts),

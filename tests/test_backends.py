@@ -101,6 +101,47 @@ def test_gallery_block_invariance(dataset, tmp_path, direct_ranks):
     np.testing.assert_array_equal(ranks, direct_ranks)
 
 
+def test_auto_gallery_block_derivation():
+    """auto_gallery_block derives the block from device HBM: monotone in
+    the budget, shrinks with resident bytes, env-overridable."""
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        auto_gallery_block,
+        gallery_block_bytes_per_print,
+    )
+
+    kw = dict(c_pad=176, gt=3)
+    per = gallery_block_bytes_per_print(42, 42, 34, 34, **kw)
+    # WVU-scale shapes: the model that matched the measured part behavior
+    # (256-print blocks + 2.6 GB resident fit a 15.75 GB part; 512 OOMed)
+    assert 25e6 < per < 55e6
+    import os
+
+    os.environ["SIR_HBM_BYTES"] = str(int(15.75e9))
+    try:
+        b0 = auto_gallery_block(42, 42, 34, 34, **kw)
+        b_res = auto_gallery_block(42, 42, 34, 34, resident_bytes=int(3e9), **kw)
+        assert b_res < b0
+        assert 150 <= b_res <= 512  # the regime the part measured
+        os.environ["SIR_HBM_BYTES"] = str(int(31.5e9))
+        assert auto_gallery_block(42, 42, 34, 34, **kw) > b0
+        # floor: an impossibly small budget still returns one packed group
+        os.environ["SIR_HBM_BYTES"] = "1000000"
+        assert auto_gallery_block(42, 42, 34, 34, **kw) == 3
+    finally:
+        del os.environ["SIR_HBM_BYTES"]
+
+
+def test_auto_gallery_block_pipeline_invariance(dataset, tmp_path, direct_ranks, monkeypatch):
+    """gallery_block = 0 (auto) with a tiny forced HBM budget must block the
+    gallery (block = one lane-pack group) and still reproduce the one-shot
+    rankings."""
+    # budget barely above the safety margin -> auto_gallery_block returns
+    # its floor (one gt group), smaller than the 7-print gallery
+    monkeypatch.setenv("SIR_HBM_BYTES", str(int(2.001e9)))
+    ranks = _run(dataset, tmp_path, 'ncc_backend = "direct"')
+    np.testing.assert_array_equal(ranks, direct_ranks)
+
+
 def test_probe_batch_invariance(dataset, tmp_path, direct_ranks):
     """pb=1 vs pb=3 must not change rankings (class-major packing)."""
     ranks = _run(dataset, tmp_path,
