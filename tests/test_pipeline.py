@@ -224,6 +224,21 @@ def test_pipeline_sharded_matches_unsharded(dataset, tmp_path):
     assert r1 == r8
 
 
+def test_pipeline_sharded_and_blocked(dataset, tmp_path):
+    """Gallery sharding COMPOSED with gallery blocking (the real WVU-scale
+    multi-chip configuration: each block's cache is sharded over the mesh,
+    blocks streamed) reproduces single-device one-shot rankings."""
+    base = RUN_TOML.format(dir=str(dataset))
+    cfg1 = tmp_path / "one.toml"
+    cfg1.write_text(base + "mesh_shape = 1\n")
+    cfg2b = tmp_path / "two_blocked.toml"
+    # block 3 rounds up to the mesh multiple 4 -> two sharded 4-print blocks
+    cfg2b.write_text(base + "mesh_shape = 2\ngallery_block = 3\n")
+    r1 = [o.ranks.tolist() for o in Pipeline(load_config(cfg1), weights_dir=None, verbose=False).run()]
+    r2b = [o.ranks.tolist() for o in Pipeline(load_config(cfg2b), weights_dir=None, verbose=False).run()]
+    assert r1 == r2b
+
+
 def test_cli_output_format(dataset, tmp_path, capsys, monkeypatch):
     """run.py's stdout mirrors the reference driver's shape: dataset summary,
     cluster lines, per-query rank lines, S-score line (reference run.py:15-34,
