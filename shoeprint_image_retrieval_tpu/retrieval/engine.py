@@ -89,6 +89,15 @@ class Pipeline:
         self._param_cache: dict[int, tuple] = {}
         self._scorer_fns: dict[tuple, object] = {}
         self._warmed: set[tuple] = set()
+        # feature-affecting settings folded into the gallery cache key: a
+        # config change (crop, CLAHE, precision) or regenerated image files
+        # must invalidate cached features, not silently serve stale ones
+        self._gcache_params = (
+            tuple(config["dataset"]["crop"]),
+            model_cfg["clahe_clip_limit"],
+            tuple(model_cfg["clahe_tile_grid_size"]),
+            config["tpu"].get("precision", "float32"),
+        )
         self._prewarm_threads: list = []
         # the prewarm thread and the main thread both build jit bundles /
         # model params; one lock keeps each built exactly once so both
@@ -578,6 +587,15 @@ class Pipeline:
         g_total = len(g_maps)
         mesh_size = self._mesh_size()
         gt_pack = max(1, min(4, 128 // max(1, gal_wb)))
+        # cluster-wide distinct post-crop window sizes: an upper bound on
+        # any probe batch's energy-slot count, fed to the VMEM solver (the
+        # kernel's slots scratch scales with it; the solver's 80-slot
+        # default can undersize at wide size mixes). +1 covers the filler
+        # row batches pad slot tables with.
+        all_wins = [np.asarray(q_valid) - 2 * EDGE_CROP]
+        for si in range(n_scl):
+            all_wins.append(np.asarray(scale_hw)[:, si] - 2 * EDGE_CROP)
+        n_slots_ub = len(np.unique(np.concatenate(all_wins), axis=0)) + 1
         gb_cfg = self.config["tpu"].get("gallery_block", 0)
         if not gb_cfg:
             # 0 = auto: the largest block whose scoring-graph HBM peak
@@ -591,6 +609,7 @@ class Pipeline:
                 gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
                 n_var=n_var, n_classes=len(class_counts),
                 g_pad=-(-min(g_total, 1024) // gt_pack) * gt_pack,
+                n_slots_est=n_slots_ub,
             )
             pb_est = max(1, min(len(q_maps), n_rows_est // max(1, n_var)))
             stack_b = ((-(-pb_est * n_var // 8) * 8)
@@ -610,14 +629,18 @@ class Pipeline:
             gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
             n_var=n_var, n_classes=len(class_counts),
             g_pad=-(-gb_cfg // gt_pack) * gt_pack,
+            n_slots_est=n_slots_ub,
         )
         pb = self.config["tpu"].get("probe_batch", 0) or max(
             1, n_rows_max // max(1, n_var)
         )
         pb = max(1, min(len(q_maps), pb))
         if mesh_size > 1:
-            # probe-sharded variant build: each device builds pb/mesh probes
-            pb = -(-pb // mesh_size) * mesh_size
+            # probe-sharded variant build: each device builds pb/mesh probes.
+            # Round DOWN to the mesh multiple — rounding up would push
+            # N = pb * n_var past the scoped-VMEM edge auto_probe_rows just
+            # solved (the budget is a hard cap, not a target)
+            pb = max(mesh_size, (pb // mesh_size) * mesh_size)
         layout = VariantLayout(class_counts, pb)
 
         # host-side window-size dedup: every group's post-crop window is
@@ -912,6 +935,7 @@ class Pipeline:
         gkey = GalleryFeatureCache.key(
             self.config["model"]["type"], plan.block, plan.scale,
             self.dataset.gallery_files,
+            gallery_dir=self.dataset.gallery_dir, params=self._gcache_params,
         )
         g_cached = self.gallery_cache.get(gkey)
         stream = self._stream_applicable(
@@ -1023,6 +1047,7 @@ class Pipeline:
         gkey = GalleryFeatureCache.key(
             self.config["model"]["type"], plan.block, plan.scale,
             self.dataset.gallery_files,
+            gallery_dir=self.dataset.gallery_dir, params=self._gcache_params,
         )
         g_cached = self.gallery_cache.get(gkey)
 

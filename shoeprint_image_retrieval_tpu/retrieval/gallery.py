@@ -35,9 +35,30 @@ class GalleryFeatureCache:
 
     @staticmethod
     def key(
-        model_type: str, block: int, scale: float, gallery_files: Sequence[str]
+        model_type: str,
+        block: int,
+        scale: float,
+        gallery_files: Sequence[str],
+        *,
+        gallery_dir: str | Path | None = None,
+        params: object = None,
     ) -> str:
-        listing = hashlib.sha256("\n".join(gallery_files).encode()).hexdigest()[:12]
+        """Cache key. ``gallery_dir`` adds a per-file (size, mtime) stat
+        fingerprint so regenerated images with unchanged NAMES (e.g. the
+        synthetic fixture re-generated with a different seed) invalidate
+        stale features instead of silently serving them; ``params`` folds
+        in any preprocessing settings that change the features (crop,
+        CLAHE, precision)."""
+        h = hashlib.sha256()
+        for f in gallery_files:
+            h.update(f.encode())
+            if gallery_dir is not None:
+                st = (Path(gallery_dir) / f).stat()
+                h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
+            h.update(b"\n")
+        if params is not None:
+            h.update(repr(params).encode())
+        listing = h.hexdigest()[:12]
         return f"{model_type}_b{block}_s{scale:.6f}_{listing}"
 
     def get(self, key: str) -> tuple[np.ndarray, np.ndarray] | None:
