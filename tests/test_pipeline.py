@@ -195,6 +195,40 @@ def test_gallery_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(got2[1], valid)
 
 
+def test_gallery_cache_key_invalidation(tmp_path):
+    """The key must change when file CONTENT changes under unchanged names
+    (stat fingerprint) or when a feature-affecting setting changes (params),
+    so stale features are never silently served."""
+    import os
+
+    from shoeprint_image_retrieval_tpu.retrieval.gallery import GalleryFeatureCache
+
+    d = tmp_path / "gal"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"one")
+    (d / "b.png").write_bytes(b"two")
+    files = ["a.png", "b.png"]
+
+    k0 = GalleryFeatureCache.key("VGG16", 5, 0.75, files, gallery_dir=d)
+    # same content, same stats -> stable
+    assert k0 == GalleryFeatureCache.key("VGG16", 5, 0.75, files, gallery_dir=d)
+
+    # regenerated file (same name, different bytes/mtime) -> new key
+    (d / "a.png").write_bytes(b"one'")
+    k1 = GalleryFeatureCache.key("VGG16", 5, 0.75, files, gallery_dir=d)
+    assert k1 != k0
+    # mtime-only change (same size) -> new key too
+    os.utime(d / "a.png", ns=(1, 1))
+    assert GalleryFeatureCache.key("VGG16", 5, 0.75, files, gallery_dir=d) != k1
+
+    # feature-affecting params fold in
+    p0 = ((0, 0, 0, 0), 2.0, (8, 8), "float32")
+    p1 = ((0, 0, 0, 0), 2.0, (8, 8), "bfloat16")
+    ka = GalleryFeatureCache.key("VGG16", 5, 0.75, files, params=p0)
+    assert ka != GalleryFeatureCache.key("VGG16", 5, 0.75, files, params=p1)
+    assert ka != GalleryFeatureCache.key("VGG16", 5, 0.75, files)
+
+
 def test_pipeline_gallery_cache_reuse(dataset, tmp_path):
     """Second run with a disk cache skips gallery re-extraction and produces
     identical rankings."""
