@@ -80,6 +80,20 @@ def load_images(
         return list(pool.map(lambda f: load_one(directory / f, scale, crop), files))
 
 
+def canvas_bucket(
+    hw_list: Sequence[tuple[int, int]], round_to: int = 64
+) -> tuple[int, int]:
+    """The shape bucket for a set of (h, w) sizes: max per side, rounded up
+    to ``round_to``. THE single definition of the bucketing rule — the
+    engine's compile-signature prediction (prewarm) and the streamed ingest
+    path derive canvases from image headers with this same function, so
+    predicted and actual jit signatures cannot drift."""
+    return (
+        -(-max(h for h, _ in hw_list) // round_to) * round_to,
+        -(-max(w for _, w in hw_list) // round_to) * round_to,
+    )
+
+
 def pack_canvas(
     images: Sequence[np.ndarray], canvas_hw: tuple[int, int] | None = None,
     round_to: int = 64,
@@ -94,10 +108,7 @@ def pack_canvas(
     (batched == native-shape extraction is proven in test_models.py).
     """
     if canvas_hw is None:
-        canvas_hw = (
-            -(-max(im.shape[0] for im in images) // round_to) * round_to,
-            -(-max(im.shape[1] for im in images) // round_to) * round_to,
-        )
+        canvas_hw = canvas_bucket([im.shape[:2] for im in images], round_to)
     extra = images[0].shape[2:]  # () for gray, (3,) for RGB
     batch = np.zeros((len(images), *canvas_hw, *extra), np.uint8)
     valid = np.zeros((len(images), 2), np.int32)

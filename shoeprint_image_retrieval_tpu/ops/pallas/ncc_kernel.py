@@ -49,12 +49,21 @@ from typing import Sequence
 
 # Profiling knob (benchmarks/kernel_probe.py, BASELINE.md kernel time
 # split): NCC_SKIP is a comma-set of kernel sections to elide —
-# {rolls,dots,epilogue,mac} — so each section's wall share can be measured
-# by difference. Results are garbage when any section is skipped, so a
+# {rolls,dots,epilogue,gather} — so each section's wall share can be
+# measured by difference. (The round-2 'mac' section no longer exists: the
+# scaled accumulation is fused into the dot loop and elides with 'dots'.)
+# Results are garbage when any section is skipped, so a
 # stray NCC_SKIP in a job environment must never silently corrupt real
 # runs: it is refused unless NCC_SKIP_ACK=1 explicitly acknowledges a
 # profiling session, and even then a loud stderr banner marks every import.
 _SKIP = set(filter(None, os.environ.get("NCC_SKIP", "").split(",")))
+_SKIP_KNOWN = {"rolls", "dots", "epilogue", "gather"}
+if _SKIP - _SKIP_KNOWN:
+    raise RuntimeError(
+        f"NCC_SKIP names unknown kernel sections {sorted(_SKIP - _SKIP_KNOWN)} "
+        f"(known: {sorted(_SKIP_KNOWN)}) — a skip that elides nothing would "
+        "silently corrupt the by-difference profiling methodology."
+    )
 if _SKIP:
     if os.environ.get("NCC_SKIP_ACK") != "1":
         raise RuntimeError(

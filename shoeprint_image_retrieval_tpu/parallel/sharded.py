@@ -14,6 +14,7 @@ with rankings identical (tested in tests/test_sharded.py).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
@@ -100,9 +101,16 @@ def make_sharded_packed_builder(mesh, build_kernels, class_counts, pb: int):
 
     ``build_kernels`` must be shape-generic in the probe axis and return
     class-major rows (engine._scorer_bundle.build_kernels). ``pb`` must be
-    divisible by the mesh size (the engine rounds it up).
+    divisible by the mesh size — the engine rounds its VMEM-solved batch
+    DOWN to the mesh multiple (rounding up would blow the scoped-VMEM row
+    budget) and keeps a replicated build instead when pb < mesh size.
     """
     n = mesh.shape[GALLERY_AXIS]
+    if pb % n:
+        raise ValueError(
+            f"probe batch {pb} not divisible by mesh size {n}: the per-class "
+            "all_gather would reassemble misaligned probe rows"
+        )
     pb_local = pb // n
 
     def local(maps, valid, ridx, rok, wvq, whq, shw):
@@ -136,8 +144,12 @@ def make_sharded_packed_builder(mesh, build_kernels, class_counts, pb: int):
 
 # one jitted impl per (mesh, workload statics): the engine's gallery-block
 # loop calls make_sharded_packed_scorer once per ~2 GB block — without this
-# memo every block re-jits (and re-compiles) an identical program
-_packed_scorer_impls: dict = {}
+# memo every block re-jits (and re-compiles) an identical program. Bounded
+# LRU: a long-lived process scoring many distinct workloads must not pin
+# every compiled executable it ever built (block-loop reuse needs 1 entry;
+# 8 covers interleaved pipelines with headroom).
+_packed_scorer_impls: OrderedDict = OrderedDict()
+_PACKED_SCORER_MEMO_MAX = 8
 
 
 def make_sharded_packed_scorer(
@@ -167,7 +179,9 @@ def make_sharded_packed_scorer(
         str(compute_dtype), interpret,
     )
     score_impl = _packed_scorer_impls.get(impl_key)
-    if score_impl is None:
+    if score_impl is not None:
+        _packed_scorer_impls.move_to_end(impl_key)
+    else:
 
         def local(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
             local_cache = DirectGalleryCache(p0, int1, int2, gvalid)
@@ -207,6 +221,8 @@ def make_sharded_packed_scorer(
             return s[:, :g_true] if g_true is not None else s
 
         _packed_scorer_impls[impl_key] = score_impl
+        while len(_packed_scorer_impls) > _PACKED_SCORER_MEMO_MAX:
+            _packed_scorer_impls.popitem(last=False)
 
     def score(packed: PackedVariants, slot_hw, slot_map):
         return score_impl(

@@ -33,7 +33,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..data.discovery import Dataset
-from ..data.loader import load_images, pack_canvas
+from ..data.loader import canvas_bucket, load_images, pack_canvas
 from ..data.planner import PlannerConfig, plan_clusters, read_header_sizes
 from ..metrics import ranks_from_scores
 from ..models.registry import get_backbone
@@ -98,6 +98,7 @@ class Pipeline:
             tuple(model_cfg["clahe_tile_grid_size"]),
             config["tpu"].get("precision", "float32"),
         )
+        self._mode_cache: dict[str, str] = {}
         self._prewarm_threads: list = []
         # the prewarm thread and the main thread both build jit bundles /
         # model params; one lock keeps each built exactly once so both
@@ -186,19 +187,31 @@ class Pipeline:
 
     def _host_clahe(self, images: Sequence[np.ndarray]) -> list[np.ndarray] | None:
         """Equalize on host via the native C++ path when configured and
-        applicable (uint8 gray or RGB + library available); None = device."""
+        applicable (uint8 gray or RGB + library available); None = device.
+
+        Mixed gray/RGB sets are supported (the reference picks its transform
+        per image, reference network.py:216-236, so a mixed dataset must
+        work here too): each image is equalized per its OWN mode — gray
+        CLAHE for 2D, LAB-L CLAHE for RGB — and the equalized gray images
+        are then expanded to (H, W, 3) channel-repeats so the returned list
+        packs onto one canvas. Post-CLAHE repeat is feature-identical to the
+        reference's gray path (ToTensor + repeat(3,1,1) + ImageNet
+        normalize, reference network.py:55-71)."""
         from ..data import native_ingest
 
         if not self.config["tpu"].get("clahe_host", True):
             return None
         if not native_ingest.available():
             return None
-        gray = all(im.ndim == 2 and im.dtype == np.uint8 for im in images)
-        rgb = all(
-            im.ndim == 3 and im.shape[2] == 3 and im.dtype == np.uint8
-            for im in images
-        )
-        if not (gray or rgb):
+        gray_i = [
+            i for i, im in enumerate(images)
+            if im.ndim == 2 and im.dtype == np.uint8
+        ]
+        rgb_i = [
+            i for i, im in enumerate(images)
+            if im.ndim == 3 and im.shape[2] == 3 and im.dtype == np.uint8
+        ]
+        if len(gray_i) + len(rgb_i) != len(images):
             return None
         mcfg = self.config["model"]
         tx, ty = mcfg["clahe_tile_grid_size"]  # cv2 order: (width, height)
@@ -207,20 +220,54 @@ class Pipeline:
             # extension clamps where cv2 multi-reflects — route through the
             # device kernel (same clamp semantics, so rankings are unchanged)
             return None
-        return native_ingest.clahe_batch(
-            images, mcfg["clahe_clip_limit"], tuple(mcfg["clahe_tile_grid_size"]),
-            n_threads=self.config["dataset"]["n_processes"],
-        )
+        out: list = [None] * len(images)
+        for idx in (gray_i, rgb_i):
+            if idx:
+                eq = native_ingest.clahe_batch(
+                    [images[i] for i in idx], mcfg["clahe_clip_limit"],
+                    tuple(mcfg["clahe_tile_grid_size"]),
+                    n_threads=self.config["dataset"]["n_processes"],
+                )
+                for i, e in zip(idx, eq):
+                    out[i] = e
+        if gray_i and rgb_i:  # mixed: unify onto the 3-channel canvas
+            for i in gray_i:
+                out[i] = np.repeat(out[i][:, :, None], 3, axis=2)
+        return out
 
-    def _extract(self, step, params, images: Sequence[np.ndarray]):
+    def _extract(
+        self, step, params, images: Sequence[np.ndarray],
+        canvas_hw: tuple[int, int] | None = None,
+    ):
         """Batched masked extraction -> (maps (B,C,Hf,Wf), valid (B,2)) numpy.
 
         With ``tpu.mesh_shape > 1`` the image batch is sharded over the mesh
         (data-parallel extraction: every chip runs the backbone on its batch
         shard — the TPU analog of the reference's host worker pool,
         reference dataloader.py:135-172); results gather to host.
+
+        A mixed gray/RGB image list (the reference handles modes per image,
+        reference network.py:216-236) extracts as two uniform sub-batches on
+        one shared canvas — the jitted step's device CLAHE branches on the
+        batch rank, so each mode gets its reference-exact equalization — and
+        the feature maps stitch back in input order (identical (C, Hf, Wf)
+        per image either way).
         """
-        batch_u8, valid = pack_canvas(images)
+        if len({im.ndim for im in images}) > 1:
+            canvas = canvas_bucket([im.shape[:2] for im in images])
+            maps = [None] * len(images)
+            valids = [None] * len(images)
+            for want in (2, 3):
+                idx = [i for i, im in enumerate(images) if im.ndim == want]
+                if not idx:
+                    continue
+                m, v = self._extract(
+                    step, params, [images[i] for i in idx], canvas_hw=canvas
+                )
+                for j, i in enumerate(idx):
+                    maps[i], valids[i] = m[j], v[j]
+            return np.stack(maps), np.stack(valids)
+        batch_u8, valid = pack_canvas(images, canvas_hw=canvas_hw)
         bs = max(1, self.config["tpu"]["extraction_batch"])
         mesh_size = self._mesh_size()
         shard = None
@@ -256,13 +303,25 @@ class Pipeline:
         cw = math.floor(w * crop[1])
         return int((h - 2 * ch) * scale), int((w - 2 * cw) * scale)
 
-    def _stream_applicable(self, directory, files, hdr, scale: float) -> bool:
-        """True when the double-buffered host-CLAHE ingest stream can serve
-        this file set: native library + host CLAHE enabled + uint8 gray/RGB
-        (first file's header mode) + every image at least one pixel per
-        CLAHE tile after crop/resize."""
+    def _file_mode(self, directory, f: str) -> str:
+        """Header-only PIL mode of one file, memoized (no pixel decode)."""
         from PIL import Image
 
+        key = str(Path(directory) / f)
+        mode = self._mode_cache.get(key)
+        if mode is None:
+            with Image.open(key) as im:
+                mode = im.mode
+            self._mode_cache[key] = mode
+        return mode
+
+    def _stream_applicable(self, directory, files, hdr, scale: float) -> bool:
+        """True when the double-buffered host-CLAHE ingest stream can serve
+        this file set: native library + host CLAHE enabled + every file a
+        uint8 gray/RGB mode (headers checked — a single odd-mode file mid-
+        stream must fall back, not crash) + every image at least one pixel
+        per CLAHE tile after crop/resize. Mixed L/RGB sets stream fine:
+        _host_clahe equalizes per mode and unifies the canvas."""
         from ..data import native_ingest
 
         if not self.config["tpu"].get("clahe_host", True):
@@ -271,9 +330,8 @@ class Pipeline:
             return False
         if not files:
             return False
-        with Image.open(Path(directory) / files[0]) as im:
-            if im.mode not in ("L", "RGB"):
-                return False
+        if any(self._file_mode(directory, f) not in ("L", "RGB") for f in files):
+            return False
         crop = self.config["dataset"]["crop"]
         tx, ty = self.config["model"]["clahe_tile_grid_size"]
         for f in files:
@@ -297,10 +355,7 @@ class Pipeline:
         crop = self.config["dataset"]["crop"]
         n_threads = self.config["dataset"]["n_processes"]
         outs = [self._ingest_out_hw(hdr[f], crop, scale) for f in files]
-        canvas = (
-            -(-max(h for h, _ in outs) // 64) * 64,
-            -(-max(w for _, w in outs) // 64) * 64,
-        )
+        canvas = canvas_bucket(outs)
         bs = max(1, self.config["tpu"]["extraction_batch"])
         mesh_size = self._mesh_size()
         shard = None
@@ -308,14 +363,25 @@ class Pipeline:
             bs = -(-bs // mesh_size) * mesh_size
             shard = NamedSharding(build_mesh(mesh_size), P(GALLERY_AXIS))
 
+        # mixed L/RGB file sets: every chunk must land on the SAME 3-channel
+        # batch signature, or chunk-composition luck would flap between two
+        # compiled extraction shapes (an all-gray chunk is 2D on its own)
+        modes = {self._file_mode(directory, f) for f in files}
+        force_rgb = len(modes) > 1
+
         def prep(chunk_files):
             imgs = load_images(directory, chunk_files, scale, crop, n_threads)
             eq = self._host_clahe(imgs)
             if eq is None:
                 raise RuntimeError(
                     "streamed ingest: host CLAHE became inapplicable mid-"
-                    f"stream (mixed image modes?) at {chunk_files[0]}"
+                    f"stream (unexpected image mode?) at {chunk_files[0]}"
                 )
+            if force_rgb:
+                eq = [
+                    e if e.ndim == 3 else np.repeat(e[:, :, None], 3, axis=2)
+                    for e in eq
+                ]
             batch, valid = pack_canvas(eq, canvas_hw=canvas)
             pad = bs - len(chunk_files)
             if pad:
@@ -635,12 +701,15 @@ class Pipeline:
             1, n_rows_max // max(1, n_var)
         )
         pb = max(1, min(len(q_maps), pb))
-        if mesh_size > 1:
+        if mesh_size > 1 and pb >= mesh_size:
             # probe-sharded variant build: each device builds pb/mesh probes.
             # Round DOWN to the mesh multiple — rounding up would push
             # N = pb * n_var past the scoped-VMEM edge auto_probe_rows just
-            # solved (the budget is a hard cap, not a target)
-            pb = max(mesh_size, (pb // mesh_size) * mesh_size)
+            # solved (the budget is a hard cap, not a target). A solved pb
+            # SMALLER than the mesh keeps its value: the variant build then
+            # runs replicated (see build_fn below) rather than blowing the
+            # row budget to reach a mesh multiple.
+            pb = (pb // mesh_size) * mesh_size
         layout = VariantLayout(class_counts, pb)
 
         # host-side window-size dedup: every group's post-crop window is
@@ -684,11 +753,14 @@ class Pipeline:
         # The sharded path runs the SAME backend kernel per shard.
         mesh = build_mesh(mesh_size) if mesh_size > 1 else None
         build_fn = build_packed_j
-        if mesh is not None:
+        if mesh is not None and pb % mesh_size == 0:
             # probe-sharded stack build: the per-batch variant construction
             # is the serial (Amdahl) term of gallery sharding if it runs
             # replicated — each device builds pb/mesh probes' variants and
-            # one tiled all_gather per class reassembles the global stack
+            # one tiled all_gather per class reassembles the global stack.
+            # (pb < mesh_size — a VMEM-solved batch smaller than the device
+            # count — keeps the replicated build; the gallery-sharded scorer
+            # below does not care about pb divisibility.)
             if mesh not in fns.builders:
                 fns.builders[mesh] = make_sharded_packed_builder(
                     mesh, fns.build_kernels, class_counts, pb
@@ -909,10 +981,34 @@ class Pipeline:
                 print(f"  (prewarm skipped: {type(exc).__name__}: {exc})")
 
     def _dir_rgb(self, directory, files) -> bool:
-        from PIL import Image
+        """True when this file set's batches extract as 3-channel canvases
+        (any RGB file: a mixed set unifies onto the RGB canvas)."""
+        return any(self._file_mode(directory, f) == "RGB" for f in files)
 
-        with Image.open(Path(directory) / files[0]) as im:
-            return im.mode == "RGB"
+    def _cluster_gallery_state(self, plan, q_files):
+        """(gkey, g_cached, stream) for one cluster — derived in ONE place.
+
+        run_cluster and the prewarm thread both need this triple, and
+        prewarm's compile-signature prediction is only correct if it
+        derives the streaming decision and cache state EXACTLY as the real
+        run will (prewarm swallows errors, so a drift here would surface
+        only as silent duplicate compiles)."""
+        gkey = GalleryFeatureCache.key(
+            self.config["model"]["type"], plan.block, plan.scale,
+            self.dataset.gallery_files,
+            gallery_dir=self.dataset.gallery_dir, params=self._gcache_params,
+        )
+        g_cached = self.gallery_cache.get(gkey)
+        stream = self._stream_applicable(
+            self.dataset.query_dir, q_files, self._q_hdr, plan.scale
+        ) and (
+            g_cached is not None
+            or self._stream_applicable(
+                self.dataset.gallery_dir, self.dataset.gallery_files,
+                self._g_hdr, plan.scale,
+            )
+        )
+        return gkey, g_cached, stream
 
     def _prewarm_impl(self, plan) -> None:
         """Compile this cluster's executables concurrently with its ingest /
@@ -932,33 +1028,13 @@ class Pipeline:
         """
         crop = self.config["dataset"]["crop"]
         q_files = sorted(plan.files)
-        gkey = GalleryFeatureCache.key(
-            self.config["model"]["type"], plan.block, plan.scale,
-            self.dataset.gallery_files,
-            gallery_dir=self.dataset.gallery_dir, params=self._gcache_params,
-        )
-        g_cached = self.gallery_cache.get(gkey)
-        stream = self._stream_applicable(
-            self.dataset.query_dir, q_files, self._q_hdr, plan.scale
-        ) and (
-            g_cached is not None
-            or self._stream_applicable(
-                self.dataset.gallery_dir, self.dataset.gallery_files,
-                self._g_hdr, plan.scale,
-            )
-        )
+        _, g_cached, stream = self._cluster_gallery_state(plan, q_files)
         features, params, step = self._model_for_block(
             plan.block, device_clahe=not stream
         )
 
-        def canvas64(outs):
-            return (
-                -(-max(h for h, _ in outs) // 64) * 64,
-                -(-max(w for _, w in outs) // 64) * 64,
-            )
-
         q_out = [self._ingest_out_hw(self._q_hdr[f], crop, plan.scale) for f in q_files]
-        canvas_q = canvas64(q_out)
+        canvas_q = canvas_bucket(q_out)
         bs = max(1, self.config["tpu"]["extraction_batch"])
 
         def warm_step(canvas, rgb):
@@ -981,7 +1057,7 @@ class Pipeline:
                 self._ingest_out_hw(self._g_hdr[f], crop, plan.scale)
                 for f in self.dataset.gallery_files
             ]
-            canvas_g = canvas64(g_out)
+            canvas_g = canvas_bucket(g_out)
             if canvas_g != canvas_q:
                 # gallery extraction compiles while queries extract
                 warm_step(
@@ -990,18 +1066,15 @@ class Pipeline:
                 )
 
         # ---- scoring: shape-only traces give the feature-space sizes the
-        # masked layers will produce (exact conv/pool arithmetic) ----------
-        params_shape = jax.eval_shape(lambda k: features.init(k), jax.random.PRNGKey(0))
+        # masked layers will produce (models/summary.output_size, memoized
+        # over the distinct header sizes) ----------------------------------
+        from ..models.summary import output_size
+
         feat_cache: dict[tuple[int, int], tuple[int, int, int]] = {}
 
         def feat_chw(hw):
             if hw not in feat_cache:
-                maps, _ = jax.eval_shape(
-                    features.apply, params_shape,
-                    jax.ShapeDtypeStruct((1, 3, hw[0], hw[1]), "float32"),
-                    jax.ShapeDtypeStruct((1, 2), "int32"),
-                )
-                feat_cache[hw] = (maps.shape[1], maps.shape[2], maps.shape[3])
+                feat_cache[hw] = output_size(features, hw)
             return feat_cache[hw]
 
         c, hfq, wfq = feat_chw(canvas_q)
@@ -1044,25 +1117,10 @@ class Pipeline:
         crop = self.config["dataset"]["crop"]
         n_threads = self.config["dataset"]["n_processes"]
         q_files = sorted(plan.files)
-        gkey = GalleryFeatureCache.key(
-            self.config["model"]["type"], plan.block, plan.scale,
-            self.dataset.gallery_files,
-            gallery_dir=self.dataset.gallery_dir, params=self._gcache_params,
-        )
-        g_cached = self.gallery_cache.get(gkey)
-
         # streamed path: decode + native crop/Lanczos + native CLAHE of
         # chunk i+1 overlap the device's extraction of chunk i; the ingest
         # stage disappears into the extract stages
-        stream = self._stream_applicable(
-            self.dataset.query_dir, q_files, self._q_hdr, plan.scale
-        ) and (
-            g_cached is not None
-            or self._stream_applicable(
-                self.dataset.gallery_dir, self.dataset.gallery_files,
-                self._g_hdr, plan.scale,
-            )
-        )
+        gkey, g_cached, stream = self._cluster_gallery_state(plan, q_files)
         if stream:
             g_imgs = None
             _, params, step = self._model_for_block(plan.block, device_clahe=False)

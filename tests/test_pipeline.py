@@ -195,6 +195,81 @@ def test_gallery_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(got2[1], valid)
 
 
+def test_pipeline_mixed_gray_rgb_dataset(tmp_path):
+    """A dataset mixing grayscale and RGB files runs end-to-end on BOTH the
+    host-CLAHE (streamed) and device-CLAHE paths, with identical rankings.
+
+    The reference handles image modes per image (reference
+    network.py:216-236), so a mixed dataset must work here too: host CLAHE
+    equalizes each image per its own mode then unifies gray images onto the
+    3-channel canvas; the device path extracts per-mode sub-batches on a
+    shared canvas. Both are reference-semantic, so ranks must agree."""
+    root = tmp_path / "mixed"
+    (root / "Gallery").mkdir(parents=True)
+    (root / "Query").mkdir()
+    rng = np.random.default_rng(23)
+    gallery = {}
+    for gi in range(6):
+        h, w = int(rng.integers(70, 90)), int(rng.integers(60, 80))
+        if gi % 2:  # odd ids: RGB prints
+            img = rng.integers(30, 220, size=(h, w, 3), dtype=np.uint8)
+        else:  # even ids: grayscale prints
+            img = rng.integers(30, 220, size=(h, w), dtype=np.uint8)
+        Image.fromarray(img).save(root / "Gallery" / f"{gi + 1}_1.png")
+        gallery[gi + 1] = img
+    for qi, gid in enumerate([1, 2, 3, 4]):  # both modes among the queries
+        src = gallery[gid]
+        crop = src[5:55, 5:50].copy()
+        noise = rng.integers(-10, 11, size=crop.shape)
+        crop = np.clip(crop.astype(int) + noise, 0, 255).astype(np.uint8)
+        Image.fromarray(crop).save(root / "Query" / f"{gid}_q{qi}.png")
+
+    def run(clahe_host):
+        cfg_path = tmp_path / f"run_{clahe_host}.toml"
+        cfg_path.write_text(
+            RUN_TOML.format(dir=str(root))
+            + f"clahe_host = {'true' if clahe_host else 'false'}\n"
+        )
+        pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+        return [o.ranks.tolist() for o in pipe.run()]
+
+    ranks_host = run(True)
+    ranks_device = run(False)
+    assert ranks_host == ranks_device
+    assert sum(len(r) for r in ranks_host) == 4
+
+
+def test_host_clahe_mixed_equals_per_mode(tmp_path):
+    """_host_clahe on a mixed list == per-mode native CLAHE + channel
+    repeat for the gray images (the post-CLAHE repeat is the reference's
+    gray transform, reference network.py:55-71)."""
+    from shoeprint_image_retrieval_tpu.data import native_ingest
+
+    if not native_ingest.available():
+        pytest.skip("native ingest library unavailable")
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(40, 36), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(44, 38, 3), dtype=np.uint8)
+
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(RUN_TOML.format(dir=str(tmp_path)))
+    (tmp_path / "Gallery").mkdir()
+    (tmp_path / "Query").mkdir()
+    Image.fromarray(gray).save(tmp_path / "Gallery" / "1_1.png")
+    Image.fromarray(gray).save(tmp_path / "Query" / "1_q0.png")
+    pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+
+    out = pipe._host_clahe([gray, rgb, gray])
+    assert out is not None
+    eq_gray = native_ingest.clahe_batch([gray], 2.0, (8, 8))[0]
+    eq_rgb = native_ingest.clahe_batch([rgb], 2.0, (8, 8))[0]
+    np.testing.assert_array_equal(out[0], np.repeat(eq_gray[:, :, None], 3, 2))
+    np.testing.assert_array_equal(out[1], eq_rgb)
+    np.testing.assert_array_equal(out[2], np.repeat(eq_gray[:, :, None], 3, 2))
+    # uniform lists keep their native rank (no gratuitous RGB expansion)
+    assert pipe._host_clahe([gray, gray])[0].ndim == 2
+
+
 def test_gallery_cache_key_invalidation(tmp_path):
     """The key must change when file CONTENT changes under unchanged names
     (stat fingerprint) or when a feature-affecting setting changes (params),
