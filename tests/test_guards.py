@@ -1,0 +1,68 @@
+"""Guards on the profiling/tuning knobs that could corrupt production runs.
+
+NCC_SKIP elides kernel sections for by-difference profiling
+(benchmarks/kernel_probe.py) — a stray value in a job environment must be
+refused loudly, never silently produce garbage rankings. auto_probe_rows
+derives the MXU row budget from the device's VMEM instead of baked-in
+constants; its derivation must be monotone and env-overridable so a
+different TPU generation lands at its own edge.
+"""
+
+import os
+import subprocess
+import sys
+
+MOD = "shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel"
+
+
+def _import_with(env_extra):
+    env = {k: v for k, v in os.environ.items() if not k.startswith("NCC_SKIP")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, "-c", f"import {MOD}"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+
+
+def test_ncc_skip_refused_without_ack():
+    res = _import_with({"NCC_SKIP": "dots"})
+    assert res.returncode != 0
+    assert "NCC_SKIP_ACK" in res.stderr
+
+
+def test_ncc_skip_unknown_section_refused_even_with_ack():
+    res = _import_with({"NCC_SKIP": "dotz", "NCC_SKIP_ACK": "1"})
+    assert res.returncode != 0
+    assert "unknown kernel sections" in res.stderr
+
+
+def test_ncc_skip_acknowledged_imports_with_banner():
+    res = _import_with({"NCC_SKIP": "epilogue,rolls", "NCC_SKIP_ACK": "1"})
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ELIDED" in res.stderr
+
+
+def test_auto_probe_rows_derivation(monkeypatch):
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        auto_probe_rows,
+    )
+
+    # the shipped bench's layout: PB=56, 25 variants in 4 size classes
+    # (224 groups), 87 energy slots
+    kw = dict(n_var=25, n_classes=4, g_pad=300, n_slots_est=87)
+    monkeypatch.setenv("SIR_VMEM_BYTES", str(128 * 1024 * 1024))
+    n_v5e = auto_probe_rows(42, 42, 34, 34, **kw)
+    # the measured v5e edge: N=1400 fits with headroom, N=1800 OOMs —
+    # the derived budget must cover the former and not exceed the latter
+    assert 1400 <= n_v5e <= 1800
+    assert n_v5e % 8 == 0
+
+    # a part with twice the VMEM must derive a deeper row budget
+    monkeypatch.setenv("SIR_VMEM_BYTES", str(256 * 1024 * 1024))
+    assert auto_probe_rows(42, 42, 34, 34, **kw) > n_v5e
+
+    # floor: an impossibly small cap still returns a runnable batch
+    monkeypatch.setenv("SIR_VMEM_BYTES", str(8 * 1024 * 1024))
+    assert auto_probe_rows(42, 42, 34, 34, **kw) == 64
