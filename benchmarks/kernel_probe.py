@@ -115,6 +115,21 @@ def main() -> None:
     slot_hw = jnp.asarray(uniq.astype(np.int32))
     slot_map = jnp.asarray(inv.astype(np.int32))
 
+    # per-class tap canvases: each class's dots contract only over its own
+    # maximum window (centered sub-rectangle; excluded taps are exact
+    # zeros). Default OFF: measured 16.30 -> 10.29 probes/s on v5e at the
+    # shipped shapes — Mosaic's per-class patch sub-slices cost far more
+    # than the ~6% FLOP savings (BASELINE.md round-3 negative results).
+    # CLASS_CANVAS=1 enables for A/B on other parts/shapes.
+    class_canvas = None
+    if os.environ.get("CLASS_CANVAS", "0") == "1":
+        class_canvas = tuple(
+            (int(wins[ci * PB : (ci + 1) * PB, 0].max()),
+             int(wins[ci * PB : (ci + 1) * PB, 1].max()))
+            for ci in range(len(class_counts))
+        )
+        print(f"class canvases: {class_canvas} (full {kernel_hw})", flush=True)
+
     # exact dot FLOPs given the dynamic y bound + lane packing
     hk, wk = kernel_hw
     hb = wb = g_hi - 4
@@ -123,11 +138,19 @@ def main() -> None:
     g_pad = -(-G // gt) * gt
     heights = np.concatenate([g_sizes[:, 0] - 4, np.full(g_pad - G, 8)])
     lanes = gt * wb
+    # per-class tap rectangles shrink each class's contraction depth
+    if class_canvas is not None:
+        row_taps = sum(
+            (-(-PB * cnt // 8) * 8) * class_canvas[ci][0] * class_canvas[ci][1]
+            for ci, cnt in enumerate(class_counts)
+        )
+    else:
+        row_taps = n_pad * hk * wk
     flops = 0
     for gg in range(g_pad // gt):
         rows_max = heights[gg * gt : (gg + 1) * gt].max()
         yblocks = -(-int(rows_max) // 8)
-        flops += yblocks * 8 * 2 * n_pad * (hk * wk) * lanes
+        flops += yblocks * 8 * 2 * row_taps * lanes
     flops *= C
     print(f"G={G} C={C} N={N} kernel={kernel_hw} gt={gt} "
           f"dot FLOPs/batch = {flops/1e12:.2f} TF "
@@ -140,6 +163,7 @@ def main() -> None:
             lambda c, p, sh, sm, _dt=dt_: score_direct_pallas(
                 c, p, true_channels=C, layout=layout,
                 slot_hw=sh, slot_map=sm, compute_dtype=_dt,
+                class_canvas_hw=class_canvas,
             )
         )
         t0 = time.perf_counter()

@@ -111,6 +111,7 @@ def _pack_lanes(x: jnp.ndarray, gt: int) -> jnp.ndarray:
 
 def _kernel_body(
     class_counts: tuple[int, ...],
+    class_taps: tuple[tuple[int, int, int, int], ...],  # per class (hk_c, wk_c, du, dv)
     pb: int,
     gt: int,
     hb: int,
@@ -122,20 +123,25 @@ def _kernel_body(
     top: int,
     true_channels: int,
     compute_dtype,
-    # refs
-    slot_hw_ref,  # SMEM (n_slots, 2) int32 distinct window sizes
-    smap_ref,     # SMEM (n_groups,) int32 group -> slot index
-    gvalid_ref,  # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
-    p0_ref,      # VMEM (1, 1, hb, gt*ws) packed prints
-    int12_ref,   # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
-    kern_ref,    # VMEM (1, n_pad, hk*wk)
-    out_ref,     # VMEM (G_pad, n_pad) — full scores block
-    acc_ref,     # scratch VMEM (n_pad, hb, gt*wb)
-    rolls_ref,   # scratch VMEM (wk, hp, gt*wb) compacted
-    einv_ref,    # scratch VMEM (n_groups, hb_pad, gt*wb) per-group 1/sqrt(E)
-    slots_ref,   # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
-    rowdiff_ref,  # scratch VMEM (2*hb_pad, Wi) row box-sum pass, shared per h
+    # refs (in order): 3 SMEM inputs, 2 packed-operand inputs, one kern
+    # input PER CLASS, the output, then the 5 scratch refs
+    *refs,
 ):
+    n_kern = 1 if class_taps is None else len(class_counts)
+    (slot_hw_ref,  # SMEM (n_slots, 2) int32 distinct window sizes
+     smap_ref,     # SMEM (n_groups,) int32 group -> slot index
+     gvalid_ref,   # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
+     p0_ref,       # VMEM (1, 1, hb, gt*ws) packed prints
+     int12_ref,    # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
+     ) = refs[:5]
+    kern_refs = refs[5 : 5 + n_kern]  # VMEM (1, n_cls_pad, hk_c*wk_c) each
+    (out_ref,      # VMEM (G_pad, n_pad) — full scores block
+     acc_ref,      # scratch VMEM (n_pad, hb, gt*wb)
+     rolls_ref,    # scratch VMEM (wk, hp, gt*wb) compacted
+     einv_ref,     # scratch VMEM (n_groups, hb_pad, gt*wb) per-group 1/sqrt(E)
+     slots_ref,    # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
+     rowdiff_ref,  # scratch VMEM (2*hb_pad, Wi) row box-sum pass, shared per h
+     ) = refs[5 + n_kern :]
     gg = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
@@ -249,7 +255,15 @@ def _kernel_body(
     # Kernels are pre-laid out host-side as (v, u)-major to match. Each
     # 8-row dot block is immediately scaled by its group's einv rows and
     # accumulated: the correlation tensor never exists in memory.
-    kern = kern_ref[0]  # (n_pad, wk*hk), (v, u)-major taps
+    #
+    # Per-class tap rectangles: fold_template centers every variant on the
+    # shared canvas and zero-fills outside its window, so a class whose
+    # windows all fit a smaller centered sub-canvas (hk_c, wk_c) can
+    # restrict its dot to that rectangle — the excluded taps are exact
+    # zeros and contribute nothing. The sub-slice offsets (du, dv) are
+    # static per class, so each class streams a smaller slice of the SAME
+    # rolls scratch (no extra operand build): dot FLOPs scale with each
+    # class's own canvas instead of the batch-wide maximum.
     lanes = rolls_ref.shape[-1]
 
     def y_block(yb, _):
@@ -257,19 +271,36 @@ def _kernel_body(
         # (a fully unrolled per-y loop makes Mosaic hold 40+ live slices)
         y0 = pl.multiple_of(yb * 8, 8)
         blk = rolls_ref[:, pl.ds(y0, hk + 7), :]  # (wk, hk+7, lanes), dtype
-        parts = []                                # already = compute_dtype
-        for dy in range(8):
-            rhs = blk[:, dy : dy + hk, :].reshape(wk * hk, lanes)
-            parts.append(
-                jnp.dot(kern, rhs, preferred_element_type=jnp.float32)
-            )
-        corr = jnp.stack(parts, axis=1)  # (n_pad, 8, lanes) in registers
-        # per-class FMA: class offsets are static; leading-axis reshapes
-        # are layout-preserving (sublane/lane dims untouched)
+        if class_taps is None:
+            # uniform canvas: ONE deep dot per dy over every class's rows
+            kern = kern_refs[0][0]  # (n_pad, wk*hk), (v, u)-major taps
+            parts = []
+            for dy in range(8):
+                rhs = blk[:, dy : dy + hk, :].reshape(wk * hk, lanes)
+                parts.append(
+                    jnp.dot(kern, rhs, preferred_element_type=jnp.float32)
+                )
+            corr_all = jnp.stack(parts, axis=1)  # (n_pad, 8, lanes)
         start = 0
         for ci, cnt in enumerate(class_counts):
             n_cls = pb * cnt
-            slab = corr[start : start + n_cls].reshape(pb, cnt, 8, lanes)
+            if class_taps is None:
+                corr = corr_all[start : start + n_cls]
+            else:
+                hk_c, wk_c, du, dv = class_taps[ci]
+                kern = kern_refs[ci][0]  # (n_cls_pad, wk_c*hk_c), (v, u)-major
+                parts = []
+                for dy in range(8):
+                    rhs = blk[
+                        dv : dv + wk_c, du + dy : du + dy + hk_c, :
+                    ].reshape(wk_c * hk_c, lanes)
+                    parts.append(
+                        jnp.dot(kern, rhs, preferred_element_type=jnp.float32)
+                    )
+                corr = jnp.stack(parts, axis=1)[:n_cls]  # (n_cls, 8, lanes)
+            # FMA: class offsets are static; leading-axis reshapes are
+            # layout-preserving (sublane/lane dims untouched)
+            slab = corr.reshape(pb, cnt, 8, lanes)
             ei = einv_ref[ci * pb : (ci + 1) * pb, pl.ds(y0, 8), :]
             cur = acc_ref[start : start + n_cls, pl.ds(y0, 8), :]
             acc_ref[start : start + n_cls, pl.ds(y0, 8), :] = (
@@ -492,6 +523,7 @@ def score_direct_pallas(
     layout: VariantLayout | None = None,
     slot_hw: jnp.ndarray | None = None,
     slot_map: jnp.ndarray | None = None,
+    class_canvas_hw: Sequence[tuple[int, int]] | None = None,
 ) -> jnp.ndarray:
     """Drop-in fused-kernel equivalent of :func:`..ncc_direct.score_direct`.
 
@@ -499,6 +531,18 @@ def score_direct_pallas(
     epilogue: groups with equal window sizes share one box-sum pass (the
     host knows every window size, so it can pass the distinct set). When
     omitted every group gets its own slot.
+
+    ``class_canvas_hw`` (one static (h, w) per class, post-crop) restricts
+    each class's MXU dots to a centered tap sub-rectangle of the shared
+    kernel canvas: :func:`..ncc_direct.fold_template` centers every variant
+    and zero-fills outside its window, so taps beyond a class's own maximum
+    window are exact zeros and can be dropped from the contraction — dot
+    FLOPs then scale with each class's canvas instead of the batch-wide
+    maximum (the unscaled-originals class pays ~(1/s_max)^2 of the full
+    canvas). CALLER CONTRACT: entry ci must cover every window of class ci
+    in this batch (the engine derives it from the same host-known window
+    sizes that feed ``slot_hw``); an undersized canvas silently truncates
+    the correlation. ``None`` keeps the single full-canvas dot.
 
     ``compute_dtype=jnp.bfloat16`` runs the correlation MXU dots in bf16
     (f32 accumulation; measured NO faster than f32 on this chip — the
@@ -526,12 +570,49 @@ def score_direct_pallas(
     kernels = packed.kernels  # (N, C, hk, wk)
     if kernels.shape[1] != c_pad:
         kernels = jnp.pad(kernels, ((0, 0), (0, c_pad - kernels.shape[1]), (0, 0), (0, 0)))
-    if n_pad != n_total:
-        kernels = jnp.pad(kernels, ((0, n_pad - n_total), (0, 0), (0, 0), (0, 0)))
-    # (v, u)-major tap order matches the rolls-slice patch layout
-    kern_flat = jnp.transpose(kernels, (1, 0, 3, 2)).reshape(
-        c_pad, n_pad, wk * hk
-    ).astype(compute_dtype)
+
+    # per-class tap rectangles (see docstring): centered sub-canvases with
+    # static offsets; None (or all-full canvases) keeps the one-dot path
+    if class_canvas_hw is not None:
+        if len(class_canvas_hw) != len(layout.class_counts):
+            raise ValueError(
+                f"class_canvas_hw has {len(class_canvas_hw)} entries for "
+                f"{len(layout.class_counts)} classes"
+            )
+        if all(int(h) >= hk and int(w) >= wk for h, w in class_canvas_hw):
+            class_canvas_hw = None
+    if class_canvas_hw is None:
+        class_taps = None
+        k_all = kernels
+        if n_pad != n_total:
+            k_all = jnp.pad(k_all, ((0, n_pad - n_total), (0, 0), (0, 0), (0, 0)))
+        # (v, u)-major tap order matches the rolls-slice patch layout
+        kern_inputs = [
+            jnp.transpose(k_all, (1, 0, 3, 2)).reshape(
+                c_pad, n_pad, wk * hk
+            ).astype(compute_dtype)
+        ]
+    else:
+        class_taps = []
+        kern_inputs = []
+        off = 0
+        for ci, cnt in enumerate(layout.class_counts):
+            hk_c = min(hk, max(1, int(class_canvas_hw[ci][0])))
+            wk_c = min(wk, max(1, int(class_canvas_hw[ci][1])))
+            du, dv = hk // 2 - hk_c // 2, wk // 2 - wk_c // 2
+            class_taps.append((hk_c, wk_c, du, dv))
+            n_cls = layout.pb * cnt
+            rows = kernels[off : off + n_cls, :, du : du + hk_c, dv : dv + wk_c]
+            n_cls_pad = -(-n_cls // 8) * 8
+            if n_cls_pad != n_cls:
+                rows = jnp.pad(rows, ((0, n_cls_pad - n_cls), (0, 0), (0, 0), (0, 0)))
+            kern_inputs.append(
+                jnp.transpose(rows, (1, 0, 3, 2)).reshape(
+                    c_pad, n_cls_pad, wk_c * hk_c
+                ).astype(compute_dtype)
+            )
+            off += n_cls
+        class_taps = tuple(class_taps)
 
     def pad_g(a):
         return jnp.pad(a, ((0, 0), (0, g_pad - g), (0, 0), (0, 0)))
@@ -565,8 +646,8 @@ def score_direct_pallas(
     n_slots = int(slot_hw.shape[0])
 
     body = functools.partial(
-        _kernel_body, layout.class_counts, layout.pb, gt, hb, hb_pad, wb,
-        hk, wk, we, top, true_channels, compute_dtype,
+        _kernel_body, layout.class_counts, class_taps, layout.pb, gt, hb,
+        hb_pad, wb, hk, wk, we, top, true_channels, compute_dtype,
     )
 
     n_gg = g_pad // gt
@@ -581,7 +662,12 @@ def score_direct_pallas(
             pl.BlockSpec((g_pad, 2), lambda gg, cc: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, hb, gt * ws), lambda gg, cc: (cc, gg, 0, 0)),
             pl.BlockSpec((1, 1, 2 * he, wi), lambda gg, cc: (cc, gg, 0, 0)),
-            pl.BlockSpec((1, n_pad, hk * wk), lambda gg, cc: (cc, 0, 0)),
+            *[
+                pl.BlockSpec(
+                    (1, kf.shape[1], kf.shape[2]), lambda gg, cc: (cc, 0, 0)
+                )
+                for kf in kern_inputs
+            ],
         ],
         out_specs=pl.BlockSpec((g_pad, n_pad), lambda gg, cc: (0, 0)),
         scratch_shapes=[
@@ -613,6 +699,6 @@ def score_direct_pallas(
         gvalid,
         p0p,
         int12p,
-        kern_flat,
+        *kern_inputs,
     )
     return jnp.transpose(scores)[:n_total, :g]

@@ -162,6 +162,7 @@ def make_sharded_packed_scorer(
     use_pallas: bool = False,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    class_canvas_hw: tuple[tuple[int, int], ...] | None = None,
 ):
     """Jitted (packed, slot_hw, slot_map) -> (N, G) scorer over the mesh.
 
@@ -176,7 +177,7 @@ def make_sharded_packed_scorer(
 
     impl_key = (
         mesh, true_channels, layout, g_true, use_pallas,
-        str(compute_dtype), interpret,
+        str(compute_dtype), interpret, class_canvas_hw,
     )
     score_impl = _packed_scorer_impls.get(impl_key)
     if score_impl is not None:
@@ -191,6 +192,7 @@ def make_sharded_packed_scorer(
                     local_cache, packed, true_channels=true_channels,
                     layout=layout, slot_hw=slot_hw, slot_map=slot_map,
                     compute_dtype=compute_dtype, interpret=interpret,
+                    class_canvas_hw=class_canvas_hw,
                 )
             else:
                 s = score_direct(

@@ -473,6 +473,7 @@ class Pipeline:
     def _scorer_bundle(
         self, *, true_c, hc, wc, kernel_hw, class_counts, pb, n_rot, n_scl,
         include_rots_unscaled, use_pallas, dtype, interpret,
+        class_canvas_hw=None,
     ):
         """Jitted scoring closures, memoized on the Pipeline instance.
 
@@ -484,17 +485,20 @@ class Pipeline:
         behavior; input shapes key the rest inside jit itself.
         """
         key = (true_c, hc, wc, kernel_hw, class_counts, pb, n_rot, n_scl,
-               include_rots_unscaled, use_pallas, str(dtype), interpret)
+               include_rots_unscaled, use_pallas, str(dtype), interpret,
+               class_canvas_hw)
         with self._build_lock:
             return self._scorer_bundle_locked(key, true_c=true_c, hc=hc, wc=wc,
                 kernel_hw=kernel_hw, class_counts=class_counts, pb=pb,
                 n_rot=n_rot, n_scl=n_scl,
                 include_rots_unscaled=include_rots_unscaled,
-                use_pallas=use_pallas, dtype=dtype, interpret=interpret)
+                use_pallas=use_pallas, dtype=dtype, interpret=interpret,
+                class_canvas_hw=class_canvas_hw)
 
     def _scorer_bundle_locked(
         self, key, *, true_c, hc, wc, kernel_hw, class_counts, pb, n_rot,
         n_scl, include_rots_unscaled, use_pallas, dtype, interpret,
+        class_canvas_hw=None,
     ):
         from types import SimpleNamespace
 
@@ -558,7 +562,7 @@ class Pipeline:
                 scores = score_direct_pallas(
                     cache_arg, packed, true_channels=true_c, layout=layout,
                     slot_hw=slot_hw, slot_map=slot_map, compute_dtype=dtype,
-                    interpret=interpret,
+                    interpret=interpret, class_canvas_hw=class_canvas_hw,
                 )
             else:
                 scores = score_direct(
@@ -662,6 +666,16 @@ class Pipeline:
         for si in range(n_scl):
             all_wins.append(np.asarray(scale_hw)[:, si] - 2 * EDGE_CROP)
         n_slots_ub = len(np.unique(np.concatenate(all_wins), axis=0)) + 1
+        # Per-class tap canvases (score_direct_pallas class_canvas_hw) are
+        # DISABLED here: measured a net loss on v5e at WVU shapes — the
+        # per-class sub-slice dots cost +58% kernel wall (16.30 -> 10.29
+        # probes/s, benchmarks/kernel_probe.py CLASS_CANVAS=1) against only
+        # ~6% dot-FLOP savings, because Mosaic re-materializes the patch
+        # sub-slices per class instead of streaming one deep M-row dot
+        # (BASELINE.md round-3 "negative results"). The kernel capability
+        # stays (bit-identical, tests/test_ncc_pallas.py) for parts or
+        # window distributions where the trade could invert.
+        class_canvas_hw = None
         gb_cfg = self.config["tpu"].get("gallery_block", 0)
         if not gb_cfg:
             # 0 = auto: the largest block whose scoring-graph HBM peak
@@ -740,6 +754,7 @@ class Pipeline:
             class_counts=class_counts, pb=pb, n_rot=n_rot, n_scl=n_scl,
             include_rots_unscaled=include_rots_unscaled,
             use_pallas=use_pallas, dtype=dtype, interpret=interpret,
+            class_canvas_hw=class_canvas_hw,
         )
         build_packed_j = fns.build_packed
         regroup_max_j = fns.regroup_max
@@ -819,9 +834,9 @@ class Pipeline:
         # real run will see (derived from image headers), so every jit
         # executable below is hot by the time real scoring starts. Repeat
         # signatures skip the dummy device work entirely.
-        sig = (true_c, hc, wc, kernel_hw, class_counts, pb, n_slots, gb,
-               prebuild, tuple(g_maps.shape), len(q_maps), mesh_size,
-               use_pallas, str(dtype))
+        sig = (true_c, hc, wc, kernel_hw, class_counts, class_canvas_hw, pb,
+               n_slots, gb, prebuild, tuple(g_maps.shape), len(q_maps),
+               mesh_size, use_pallas, str(dtype))
         if prewarm and sig in self._warmed:
             return np.zeros((len(q_maps), g_total), np.float32)
         self._warmed.add(sig)
@@ -883,7 +898,7 @@ class Pipeline:
                 scorer_m = make_sharded_packed_scorer(
                     mesh, sharded_cache, true_channels=true_c, layout=layout,
                     g_true=g_pad_true, use_pallas=use_pallas, compute_dtype=dtype,
-                    interpret=interpret,
+                    interpret=interpret, class_canvas_hw=class_canvas_hw,
                 )
 
             for lo in score_starts:

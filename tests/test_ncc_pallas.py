@@ -155,3 +155,71 @@ def test_packed_class_major_matches_list_api():
         )
     )
     np.testing.assert_allclose(got_pallas, want, rtol=1e-5, atol=1e-6)
+
+
+def test_per_class_tap_canvases_match_full_canvas():
+    """class_canvas_hw restricts each class's dots to a centered tap
+    sub-rectangle; since fold_template zero-fills outside every window the
+    restricted contraction drops only exact zeros — scores must equal the
+    full-canvas kernel bit-for-bit in interpret mode. (Measured a net LOSS
+    on v5e at WVU shapes — engine keeps it disabled — but the capability
+    must stay correct for shapes/parts where the trade inverts.)"""
+    from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+        PackedVariants,
+        VariantLayout,
+    )
+
+    rng = np.random.default_rng(4)
+    c, pb = 5, 3
+    class_counts = (1, 2)
+    layout = VariantLayout(class_counts, pb)
+    kernel_hw = (12, 12)
+    prints = [
+        rng.normal(size=(c, int(rng.integers(14, 21)), int(rng.integers(14, 21)))).astype(np.float32)
+        for _ in range(7)
+    ]
+    gal, gv = _pad_stack(prints, (21, 21))
+    cache = build_direct_cache(gal, gv, channel_block=5)
+
+    # class 0 windows <= 8, class 1 windows <= 12 (the full canvas)
+    wins = np.zeros((layout.n_groups, 2), np.int32)
+    wins[:pb] = rng.integers(6, 9, (pb, 2))
+    wins[pb:] = rng.integers(9, 13, (pb, 2))
+    kerns = []
+    for ci, cnt in enumerate(class_counts):
+        for p in range(pb):
+            h, w = wins[ci * pb + p]
+            ms = [rng.normal(size=(c, h + 4, w + 4)).astype(np.float32) for _ in range(cnt)]
+            tm, tv = _pad_stack(ms, (16, 16))
+            kerns.append(
+                jnp.stack([fold_template(tm[i], tv[i], kernel_hw) for i in range(cnt)])
+            )
+    packed = PackedVariants(jnp.concatenate(kerns), jnp.asarray(wins))
+    uniq, inv = np.unique(wins, axis=0, return_inverse=True)
+    slot_hw = jnp.asarray(uniq.astype(np.int32))
+    slot_map = jnp.asarray(inv.astype(np.int32))
+
+    full = np.asarray(
+        score_direct_pallas(
+            cache, packed, true_channels=c, layout=layout,
+            slot_hw=slot_hw, slot_map=slot_map, interpret=True,
+        )
+    )
+    for canvases in (((8, 8), (12, 12)), ((9, 11), (12, 12))):
+        got = np.asarray(
+            score_direct_pallas(
+                cache, packed, true_channels=c, layout=layout,
+                slot_hw=slot_hw, slot_map=slot_map, interpret=True,
+                class_canvas_hw=canvases,
+            )
+        )
+        np.testing.assert_array_equal(got, full, err_msg=f"canvases={canvases}")
+    # all-full canvases collapse back onto the single-dot path
+    got = np.asarray(
+        score_direct_pallas(
+            cache, packed, true_channels=c, layout=layout,
+            slot_hw=slot_hw, slot_map=slot_map, interpret=True,
+            class_canvas_hw=((12, 12), (12, 12)),
+        )
+    )
+    np.testing.assert_array_equal(got, full)
