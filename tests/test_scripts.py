@@ -22,9 +22,12 @@ def _run(args, cwd):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # single virtual device is enough + faster
+    # generous bound: the summed-maps script compiles a small backbone and
+    # takes ~5 min alone on this 1-core machine — under full-suite CPU
+    # contention it can take 2-3x that
     return subprocess.run(
         [sys.executable, *args], cwd=cwd, env=env,
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1500,
     )
 
 
