@@ -17,11 +17,14 @@ grid = (G / GT, C), sequential; each step handles GT prints x 1 channel:
    the im2col patch stack.
 3. **Energy epilogue**: per DISTINCT window size (slot), box sums come from
    packed, edge-extended integral images via dynamic sublane slices +
-   dynamic lane-rolls (clip semantics baked into the extension); each
-   slot's ``1/sqrt(energy)`` map is written straight into every group
-   that uses it (groups pre-ordered by slot), so the dot loop's scaled
-   accumulation is pure vector FMAs with static class offsets and no
-   per-slot intermediate ever exists.
+   dynamic lane-rolls (clip semantics baked into the extension) ->
+   per-slot ``1/sqrt(energy)`` maps.
+4. **einv gather**: statically-unrolled copies (one per group, store
+   addresses compile-time constants; only the slot read index is
+   dynamic) expand the slot maps to a per-group scratch, so the dot
+   loop's scaled accumulation is pure vector FMAs with static class
+   offsets — a fori with dynamic stores here measured 612 ms/batch of
+   pure loop/latency overhead at PB=56.
 5. **Fused MXU dots + accumulate**: per 8-row output block,
    ``kernels (N, u_blk*wk) @ patches`` with every variant of every probe
    on the N axis, immediately scaled by the group's einv rows and added
@@ -131,19 +134,19 @@ def _kernel_body(
 ):
     n_kern = 1 if class_taps is None else len(class_counts)
     (slot_hw_ref,  # SMEM (n_slots, 2) int32 distinct window sizes
-     grp_order_ref,  # SMEM (n_groups,) int32 groups ordered by slot
-     sstart_ref,   # SMEM (n_slots + 1,) int32 slot -> grp_order offsets
+     smap_ref,     # SMEM (n_groups,) int32 group -> slot index
      gvalid_ref,   # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
      p0_ref,       # VMEM (1, 1, hb, gt*ws) packed prints
      int12_ref,    # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
-     ) = refs[:6]
-    kern_refs = refs[6 : 6 + n_kern]  # VMEM (1, n_cls_pad, hk_c*wk_c) each
+     ) = refs[:5]
+    kern_refs = refs[5 : 5 + n_kern]  # VMEM (1, n_cls_pad, hk_c*wk_c) each
     (out_ref,      # VMEM (G_pad, n_pad) — full scores block
      acc_ref,      # scratch VMEM (n_pad, hb, gt*wb)
      rolls_ref,    # scratch VMEM (wk, hp, gt*wb) compacted
      einv_ref,     # scratch VMEM (n_groups, hb_pad, gt*wb) per-group 1/sqrt(E)
+     slots_ref,    # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
      rowdiff_ref,  # scratch VMEM (2*hb_pad, Wi) row box-sum pass, shared per h
-     ) = refs[6 + n_kern :]
+     ) = refs[5 + n_kern :]
     gg = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
@@ -181,7 +184,7 @@ def _kernel_body(
     wi = int12_ref.shape[-1]  # 128-aligned packed integral width
     he2 = int12_ref.shape[-2]  # 2*he: int1 stacked over int2
     he = he2 // 2
-    n_slots = slot_hw_ref.shape[0]
+    n_slots = slots_ref.shape[0]
 
     def slot_energy(si, _):
         h = slot_hw_ref[si, 0]
@@ -225,27 +228,45 @@ def _kernel_body(
         b2 = compact[hb_pad:]
         n_win = (h * w).astype(jnp.float32)
         energy = jnp.maximum(b2 - b1 * b1 / n_win, 0.0)
-        val = jnp.where(energy > 0, jax.lax.rsqrt(energy), 0.0)[None]
-
-        # fused einv expansion: write this slot's map straight into every
-        # group that uses it (groups pre-ordered by slot host-side). Round 3
-        # first ran a separate gather pass (slots scratch write, then one
-        # slots->einv copy per group); fusing the expansion into the slot
-        # loop drops the n_slots-row intermediate and its read-back —
-        # einv writes are the only traffic left — and frees the slots
-        # scratch VMEM.
-        if "gather" not in _SKIP:
-            def write_one(g, _):
-                einv_ref[pl.ds(grp_order_ref[g], 1)] = val
-                return _
-
-            jax.lax.fori_loop(
-                sstart_ref[si], sstart_ref[si + 1], write_one, None
-            )
+        slots_ref[pl.ds(si, 1)] = jnp.where(
+            energy > 0, jax.lax.rsqrt(energy), 0.0
+        )[None]
         return _
 
     if "epilogue" not in _SKIP:
         jax.lax.fori_loop(0, n_slots, slot_energy, None)
+
+    # --- einv gather: expand slot maps to per-group rows --------------------
+    # Pipelined async DMAs, one per group. The box-sum arithmetic above is
+    # nearly free (~10 ms/batch by NCC_SKIP difference); this expansion is
+    # the real epilogue cost. Synchronous formulations are LATENCY-bound,
+    # not bandwidth-bound — measured at PB=56 (224 copies x 24 KB x 1232
+    # grid steps): fori + dynamic stores 612 ms/batch, static-store full
+    # unroll 586 ms (~2.2 us per copy either way; a dynamic-batch-index
+    # VMEM access lowers to per-row moves). Issuing the copies as async
+    # DMAs with a K-deep semaphore ring overlaps those latencies: the
+    # scalar core streams the issue while the DMA engines drain ~5.5 MB
+    # per step at bandwidth.
+    if "gather" not in _SKIP:
+        n_g = einv_ref.shape[0]
+        ring = min(16, n_g)
+
+        def gather_dma(sems):
+            handles = []
+            for gi in range(n_g):
+                dma = pltpu.make_async_copy(
+                    slots_ref.at[pl.ds(smap_ref[gi], 1)],
+                    einv_ref.at[gi : gi + 1],
+                    sems.at[gi % ring],
+                )
+                if gi >= ring:  # free this semaphore slot before reuse
+                    handles[gi - ring].wait()
+                dma.start()
+                handles.append(dma)
+            for gi in range(max(0, n_g - ring), n_g):
+                handles[gi].wait()
+
+        pl.run_scoped(gather_dma, pltpu.SemaphoreType.DMA((ring,)))
 
     # --- fused MXU dots + scaled accumulation -------------------------------
     # The im2col patch matrix for output row y is exactly
@@ -644,14 +665,6 @@ def score_direct_pallas(
     slot_hw = slot_hw.astype(jnp.int32)   # (n_slots, 2)
     slot_map = slot_map.astype(jnp.int32)  # (n_groups,)
     n_slots = int(slot_hw.shape[0])
-    # groups ordered by slot + per-slot offsets: the kernel's slot loop
-    # writes each slot's 1/sqrt(E) map directly into its groups' einv rows
-    # (tiny device ops — slot_map may be a traced jit argument)
-    grp_order = jnp.argsort(slot_map, stable=True).astype(jnp.int32)
-    sstart = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(jnp.bincount(slot_map, length=n_slots)).astype(jnp.int32),
-    ])
 
     body = functools.partial(
         _kernel_body, layout.class_counts, class_taps, layout.pb, gt, hb,
@@ -666,8 +679,6 @@ def score_direct_pallas(
             pl.BlockSpec((n_slots, 2), lambda gg, cc: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((layout.n_groups,), lambda gg, cc: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_slots + 1,), lambda gg, cc: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((g_pad, 2), lambda gg, cc: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, hb, gt * ws), lambda gg, cc: (cc, gg, 0, 0)),
@@ -684,6 +695,7 @@ def score_direct_pallas(
             pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
             pltpu.VMEM((wk, hb_pad + hk - 1 + 7, gt * wb), compute_dtype),
             pltpu.VMEM((layout.n_groups, hb_pad, gt * wb), jnp.float32),
+            pltpu.VMEM((n_slots, hb_pad, gt * wb), jnp.float32),
             pltpu.VMEM((2 * hb_pad, wi), jnp.float32),
         ],
     )
@@ -704,8 +716,7 @@ def score_direct_pallas(
         compiler_params=None if interpret else compiler_params,
     )(
         slot_hw,
-        grp_order,
-        sstart,
+        slot_map,
         gvalid,
         p0p,
         int12p,
