@@ -178,6 +178,44 @@ def main() -> None:
         print(f"{name}: {dt*1e3:.1f} ms/batch -> {flops/dt/1e12:.1f} TF/s, "
               f"{PB/dt:.2f} probes/s (kernel only)", flush=True)
 
+    # CHECK=1: validate the fused kernel ON THIS DEVICE against the XLA
+    # direct path (same formulas, no Pallas, no DMA) — interpret-mode tests
+    # can't exercise real DMA-ring semantics, so device-only races would
+    # otherwise be invisible to the suite. f32 scores must agree to MXU
+    # summation-order tolerance and rank vectors must match exactly.
+    if os.environ.get("CHECK") == "1":
+        from shoeprint_image_retrieval_tpu.ops.ncc_direct import score_direct
+
+        got = np.asarray(
+            jax.jit(
+                lambda c, p, sh, sm: score_direct_pallas(
+                    c, p, true_channels=C, layout=layout,
+                    slot_hw=sh, slot_map=sm, class_canvas_hw=class_canvas,
+                )
+            )(cache, packed, slot_hw, slot_map)
+        )
+        want = np.asarray(
+            jax.jit(
+                lambda c, p: score_direct(
+                    c, p, true_channels=C, layout=layout
+                )
+            )(cache, packed)
+        )
+        err = np.abs(got - want).max()
+        # a DMA race would corrupt whole energy maps -> order-1 errors;
+        # agreement at MXU summation-order tolerance rules that out. Rank
+        # flips are only tolerable between random near-ties (gap below the
+        # measured backend-difference scale, BASELINE.md rank stability).
+        top_got = np.argsort(-got, axis=1, kind="stable")
+        top_want = np.argsort(-want, axis=1, kind="stable")
+        n_flip = int((top_got != top_want).any(axis=1).sum())
+        srt = -np.sort(-want, axis=1)
+        min_gap = float(np.min(np.abs(np.diff(srt, axis=1))))
+        print(f"CHECK: |pallas - direct| max = {err:.3e}, rows with any rank "
+              f"disagreement = {n_flip}/{got.shape[0]} "
+              f"(min adjacent score gap {min_gap:.1e})", flush=True)
+        assert err < 3e-4, err
+
 
 if __name__ == "__main__":
     main()
