@@ -161,19 +161,23 @@ def _kernel_body(
     # in bf16 mode the rolls scratch holds bf16, halving the dot-operand
     # VMEM traffic the y loop streams (the dots measure as operand-bound:
     # f32 and bf16 MXU rates are identical on this part).
-    padded = jnp.pad(
-        p0_ref[0, 0], ((hk // 2, hk - 1 - hk // 2 + (hb_pad - hb) + 7), (0, 0))
-    )
-    wp = gt * ws
-    for v in range(wk) if "rolls" not in _SKIP else ():
-        # rolled[., x] = padded[., x + v]; windows stay inside each print's
-        # ws-wide span because x_local + v <= wb - 1 + wk - 1 < ws. Stored
-        # compacted to the per-print wb columns (the ws-wide scratch would
-        # dominate VMEM at packed widths).
-        rolled = pltpu.roll(padded, wp - v, axis=1) if v else padded
-        rolls_ref[v] = jnp.concatenate(
-            [rolled[:, p * ws : p * ws + wb] for p in range(gt)], axis=1
-        ).astype(compute_dtype)
+    # Deferred to a helper: the patch build runs BETWEEN the einv DMA issue
+    # and its wait (see the gather section) so the expansion's copy
+    # latencies drain under this vector work.
+    def patch_rolls():
+        padded = jnp.pad(
+            p0_ref[0, 0], ((hk // 2, hk - 1 - hk // 2 + (hb_pad - hb) + 7), (0, 0))
+        )
+        wp = gt * ws
+        for v in range(wk) if "rolls" not in _SKIP else ():
+            # rolled[., x] = padded[., x + v]; windows stay inside each
+            # print's ws-wide span because x_local + v <= wb - 1 + wk - 1
+            # < ws. Stored compacted to the per-print wb columns (the
+            # ws-wide scratch would dominate VMEM at packed widths).
+            rolled = pltpu.roll(padded, wp - v, axis=1) if v else padded
+            rolls_ref[v] = jnp.concatenate(
+                [rolled[:, p * ws : p * ws + wb] for p in range(gt)], axis=1
+            ).astype(compute_dtype)
 
     # --- energy epilogue, deduped per distinct window size ------------------
     # 1/sqrt(local energy) depends only on the window (h, w), not on which
@@ -237,36 +241,38 @@ def _kernel_body(
         jax.lax.fori_loop(0, n_slots, slot_energy, None)
 
     # --- einv gather: expand slot maps to per-group rows --------------------
-    # Pipelined async DMAs, one per group. The box-sum arithmetic above is
-    # nearly free (~10 ms/batch by NCC_SKIP difference); this expansion is
-    # the real epilogue cost. Synchronous formulations are LATENCY-bound,
-    # not bandwidth-bound — measured at PB=56 (224 copies x 24 KB x 1232
-    # grid steps): fori + dynamic stores 612 ms/batch, static-store full
-    # unroll 586 ms (~2.2 us per copy either way; a dynamic-batch-index
-    # VMEM access lowers to per-row moves). Issuing the copies as async
-    # DMAs with a K-deep semaphore ring overlaps those latencies: the
-    # scalar core streams the issue while the DMA engines drain ~5.5 MB
-    # per step at bandwidth.
+    # Async DMAs, one per group, all issued up front on ONE byte-counting
+    # semaphore, drained under the patch build. The box-sum arithmetic
+    # above is nearly free (~10 ms/batch by NCC_SKIP difference); this
+    # expansion is the real epilogue cost. Synchronous formulations are
+    # LATENCY-bound, not bandwidth-bound — measured at PB=56 (224 copies x
+    # 24 KB x 1232 grid steps): fori + dynamic stores 612 ms/batch,
+    # static-store full unroll 586 ms (~2.2 us per copy either way; a
+    # dynamic-batch-index VMEM access lowers to per-row moves). Issuing
+    # every copy before the waits lets the DMA engines overlap all the
+    # latencies (a semaphore counts BYTES, so waits and completions
+    # commute), and the ~wk-roll patch build runs between issue and wait
+    # so the drain hides under real vector work.
     if "gather" not in _SKIP:
         n_g = einv_ref.shape[0]
-        ring = min(16, n_g)
 
-        def gather_dma(sems):
+        def gather_dma(sem):
             handles = []
             for gi in range(n_g):
                 dma = pltpu.make_async_copy(
                     slots_ref.at[pl.ds(smap_ref[gi], 1)],
                     einv_ref.at[gi : gi + 1],
-                    sems.at[gi % ring],
+                    sem,
                 )
-                if gi >= ring:  # free this semaphore slot before reuse
-                    handles[gi - ring].wait()
                 dma.start()
                 handles.append(dma)
-            for gi in range(max(0, n_g - ring), n_g):
-                handles[gi].wait()
+            patch_rolls()  # overlap the drain with the patch build
+            for dma in handles:
+                dma.wait()
 
-        pl.run_scoped(gather_dma, pltpu.SemaphoreType.DMA((ring,)))
+        pl.run_scoped(gather_dma, pltpu.SemaphoreType.DMA(()))
+    else:
+        patch_rolls()
 
     # --- fused MXU dots + scaled accumulation -------------------------------
     # The im2col patch matrix for output row y is exactly
