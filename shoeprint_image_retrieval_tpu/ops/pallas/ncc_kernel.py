@@ -253,7 +253,10 @@ def _kernel_body(
     # latencies (a semaphore counts BYTES, so waits and completions
     # commute), and the ~wk-roll patch build runs between issue and wait
     # so the drain hides under real vector work.
-    if "gather" not in _SKIP:
+    # SIR_EINV_DMA=0 falls back to the synchronous unrolled-copy expansion
+    # (the measured-safe formulation) if the DMA path misbehaves on some
+    # part/toolchain; default is the async-DMA overlap.
+    if "gather" not in _SKIP and os.environ.get("SIR_EINV_DMA", "1") == "1":
         n_g = einv_ref.shape[0]
 
         def gather_dma(sem):
@@ -272,6 +275,9 @@ def _kernel_body(
 
         pl.run_scoped(gather_dma, pltpu.SemaphoreType.DMA(()))
     else:
+        if "gather" not in _SKIP:
+            for gi in range(einv_ref.shape[0]):
+                einv_ref[gi : gi + 1] = slots_ref[pl.ds(smap_ref[gi], 1)]
         patch_rolls()
 
     # --- fused MXU dots + scaled accumulation -------------------------------
