@@ -41,7 +41,12 @@ def main() -> None:
     )
     from shoeprint_image_retrieval_tpu.ops.warp import pil_resize_size
 
-    G, C = 300, 176
+    # G/C envs shrink the workload for CHECK=1 runs: the XLA-direct
+    # validation oracle materializes the (N, G, h, w) correlation tensor,
+    # which OOMs HBM at the full bench scale (measured 36.8 GB needed at
+    # PB=24, G=300 on a 15.75 GB part) — the fused kernel itself never
+    # builds it, which is the point of the fusion.
+    G, C = int(os.environ.get("G", "300")), int(os.environ.get("C", "176"))
     g_lo, g_hi, q_lo, q_hi = 38, 46, 28, 36
     # Same class-major layout as bench.py — class_counts (1, 8, 8, 8):
     # the unscaled original, then (orig + 7 rotations) per scale, with the

@@ -19,12 +19,11 @@ grid = (G / GT, C), sequential; each step handles GT prints x 1 channel:
    packed, edge-extended integral images via dynamic sublane slices +
    dynamic lane-rolls (clip semantics baked into the extension) ->
    per-slot ``1/sqrt(energy)`` maps.
-4. **einv gather**: statically-unrolled copies (one per group, store
-   addresses compile-time constants; only the slot read index is
-   dynamic) expand the slot maps to a per-group scratch, so the dot
-   loop's scaled accumulation is pure vector FMAs with static class
-   offsets — a fori with dynamic stores here measured 612 ms/batch of
-   pure loop/latency overhead at PB=56.
+4. **einv gather**: async DMAs (one per group, issued up front on a
+   byte-counting semaphore, drained under the patch build) expand the
+   slot maps to a per-group scratch, so the dot loop's scaled
+   accumulation is pure vector FMAs with static class offsets — the
+   expansion costs ~67 ms of a ~3.4 s PB=56 batch.
 5. **Fused MXU dots + accumulate**: per 8-row output block,
    ``kernels (N, u_blk*wk) @ patches`` with every variant of every probe
    on the N axis, immediately scaled by the group's einv rows and added
@@ -189,6 +188,11 @@ def _kernel_body(
     he2 = int12_ref.shape[-2]  # 2*he: int1 stacked over int2
     he = he2 // 2
     n_slots = slots_ref.shape[0]
+    # slots/einv lane dims are padded to a 128 multiple: Mosaic DMA slices
+    # must be lane-tile-aligned (a (1, hb_pad, 126) memref_slice is rejected
+    # on hardware), so the expansion copies the padded rows and the dot loop
+    # slices the loaded VALUE back down to the live gt*wb lanes.
+    lanes_e = einv_ref.shape[-1]
 
     def slot_energy(si, _):
         h = slot_hw_ref[si, 0]
@@ -225,9 +229,18 @@ def _kernel_body(
         hi = pltpu.roll(rowdiff, wi - hi_w, axis=1)
         lo = pltpu.roll(rowdiff, wi - lo_w, axis=1)
         d = hi - lo
+        # compact is built directly at the slots/einv DMA-aligned lane
+        # width: the filler lanes reuse d's leading columns (finite by
+        # construction — integral images are finite — so the rsqrt below
+        # stays NaN-free), and the FMA's value-slice drops them (measured
+        # free: the pure-dots wall is identical with and without the
+        # slice). A trailing jnp.pad measures the same as this fused
+        # concat — the epilogue's real cost is the per-slot dynamic
+        # lane-rolls above, not the pad form.
+        fill = [d[:, : lanes_e - gt * wb]] if lanes_e != gt * wb else []
         compact = jnp.concatenate(
-            [d[:, q * we : q * we + wb] for q in range(gt)], axis=1
-        )  # (2*hb_pad, gt*wb)
+            [d[:, q * we : q * we + wb] for q in range(gt)] + fill, axis=1
+        )  # (2*hb_pad, lanes_e)
         b1 = compact[:hb_pad]
         b2 = compact[hb_pad:]
         n_win = (h * w).astype(jnp.float32)
@@ -242,17 +255,19 @@ def _kernel_body(
 
     # --- einv gather: expand slot maps to per-group rows --------------------
     # Async DMAs, one per group, all issued up front on ONE byte-counting
-    # semaphore, drained under the patch build. The box-sum arithmetic
-    # above is nearly free (~10 ms/batch by NCC_SKIP difference); this
-    # expansion is the real epilogue cost. Synchronous formulations are
-    # LATENCY-bound, not bandwidth-bound — measured at PB=56 (224 copies x
-    # 24 KB x 1232 grid steps): fori + dynamic stores 612 ms/batch,
-    # static-store full unroll 586 ms (~2.2 us per copy either way; a
-    # dynamic-batch-index VMEM access lowers to per-row moves). Issuing
-    # every copy before the waits lets the DMA engines overlap all the
-    # latencies (a semaphore counts BYTES, so waits and completions
-    # commute), and the ~wk-roll patch build runs between issue and wait
-    # so the drain hides under real vector work.
+    # semaphore, drained under the patch build (issuing every copy before
+    # the waits lets the DMA engines overlap the copy latencies; a
+    # semaphore counts BYTES, so waits and completions commute).
+    # Measured marginal cost at PB=56 (224 copies x 24 KB x 1232 grid
+    # steps): ~67 ms/batch (NCC_SKIP=gather 3363.8 vs full 3430.9,
+    # 2026-08-18). NOTE the round-2/early-round-3 "einv expansion ~612 ms"
+    # attribution was a dead-code artifact: the einv writes then lived
+    # inside the slot loop, so skipping them let Mosaic DCE the ENTIRE
+    # slot computation — the 612 ms was mostly the box-sum arithmetic
+    # itself (see BASELINE.md round-3 split). Every expansion formulation
+    # tried (fori dynamic stores, static unroll, fused-in-slot-loop, async
+    # DMA) lands within 3390-3466 ms total, i.e. equal within this part's
+    # run spread.
     # SIR_EINV_DMA=0 falls back to the synchronous unrolled-copy expansion
     # (the measured-safe formulation) if the DMA path misbehaves on some
     # part/toolchain; default is the async-DMA overlap.
@@ -335,6 +350,8 @@ def _kernel_body(
             # layout-preserving (sublane/lane dims untouched)
             slab = corr.reshape(pb, cnt, 8, lanes)
             ei = einv_ref[ci * pb : (ci + 1) * pb, pl.ds(y0, 8), :]
+            if lanes_e != lanes:  # drop the DMA-alignment lanes (value slice)
+                ei = ei[:, :, :lanes]
             cur = acc_ref[start : start + n_cls, pl.ds(y0, 8), :]
             acc_ref[start : start + n_cls, pl.ds(y0, 8), :] = (
                 cur + (slab * ei[:, None]).reshape(n_cls, 8, lanes)
@@ -517,6 +534,7 @@ def auto_probe_rows(
     hb_pad = -(-hb // 8) * 8
     gt = max(1, min(4, 128 // max(1, wb)))
     lanes = gt * wb
+    lanes_e = -(-lanes // 128) * 128  # slots/einv DMA-aligned lane width
     ws = wb + wk - 1
     # integral-image block extents (mirrors score_direct_pallas's packing)
     top = hk // 2 + 1
@@ -528,14 +546,14 @@ def auto_probe_rows(
     # Mosaic stack growth, calibrated via mosaic_headroom_bytes)
     a = (
         4 * hb_pad * lanes                          # acc row
-        + 4 * (n_classes / max(1, n_var)) * hb_pad * lanes  # einv row share
+        + 4 * (n_classes / max(1, n_var)) * hb_pad * lanes_e  # einv row share
         + 2 * compute_itemsize * hk * wk            # kern, double-buffered
         + 4 * g_pad                                 # resident output column
         + (mosaic_headroom_bytes(1024) - mosaic_headroom_bytes(0)) / 1024
     )
     b = (
         compute_itemsize * wk * (hb_pad + hk - 1 + 7) * lanes  # rolls
-        + 4 * n_slots_est * hb_pad * lanes                     # slots
+        + 4 * n_slots_est * hb_pad * lanes_e                   # slots
         + 4 * 2 * hb_pad * wi                                  # rowdiff
         + 4 * 2 * hb * gt * ws                                 # p0 block
         + 4 * 2 * 2 * he * wi                                  # int12 block
@@ -706,8 +724,16 @@ def score_direct_pallas(
         scratch_shapes=[
             pltpu.VMEM((n_pad, hb_pad, gt * wb), jnp.float32),
             pltpu.VMEM((wk, hb_pad + hk - 1 + 7, gt * wb), compute_dtype),
-            pltpu.VMEM((layout.n_groups, hb_pad, gt * wb), jnp.float32),
-            pltpu.VMEM((n_slots, hb_pad, gt * wb), jnp.float32),
+            # slots/einv lanes padded to the 128 tile so the einv-expansion
+            # DMA slices are lane-aligned (hardware Mosaic rejects unaligned
+            # memref slices; VMEM cost is <2% since 126 -> 128 etc.)
+            pltpu.VMEM(
+                (layout.n_groups, hb_pad, -(-(gt * wb) // 128) * 128),
+                jnp.float32,
+            ),
+            pltpu.VMEM(
+                (n_slots, hb_pad, -(-(gt * wb) // 128) * 128), jnp.float32
+            ),
             pltpu.VMEM((2 * hb_pad, wi), jnp.float32),
         ],
     )
