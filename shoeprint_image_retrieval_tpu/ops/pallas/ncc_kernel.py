@@ -16,9 +16,11 @@ grid = (G / GT, C), sequential; each step handles GT prints x 1 channel:
    lane-rolled once per tap column; tap-row-blocked block copies assemble
    the im2col patch stack.
 3. **Energy epilogue**: per DISTINCT window size (slot), box sums come from
-   packed, edge-extended integral images via dynamic sublane slices +
-   dynamic lane-rolls (clip semantics baked into the extension) ->
-   per-slot ``1/sqrt(energy)`` maps.
+   packed, edge-extended integral images (clip semantics baked into the
+   extension): a per-height dynamic sublane-roll row pass, then ONE MXU dot
+   against an iota-built +-1 band matrix does the column box-sum AND the
+   per-print lane compaction in a single pass (no lane-crossing VPU work)
+   -> per-slot ``1/sqrt(energy)`` maps.
 4. **einv gather**: async DMAs (one per group, issued up front on a
    byte-counting semaphore, drained under the patch build) expand the
    slot maps to a per-group scratch, so the dot loop's scaled
@@ -86,6 +88,7 @@ if _SKIP:
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -137,15 +140,16 @@ def _kernel_body(
      gvalid_ref,   # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
      p0_ref,       # VMEM (1, 1, hb, gt*ws) packed prints
      int12_ref,    # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
-     ) = refs[:5]
-    kern_refs = refs[5 : 5 + n_kern]  # VMEM (1, n_cls_pad, hk_c*wk_c) each
+     lidx_ref,     # VMEM (1, 1, lanes_e) int32 box-sum source column per lane
+     ) = refs[:6]
+    kern_refs = refs[6 : 6 + n_kern]  # VMEM (1, n_cls_pad, hk_c*wk_c) each
     (out_ref,      # VMEM (G_pad, n_pad) — full scores block
      acc_ref,      # scratch VMEM (n_pad, hb, gt*wb)
      rolls_ref,    # scratch VMEM (wk, hp, gt*wb) compacted
      einv_ref,     # scratch VMEM (n_groups, hb_pad, gt*wb) per-group 1/sqrt(E)
      slots_ref,    # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
      rowdiff_ref,  # scratch VMEM (2*hb_pad, Wi) row box-sum pass, shared per h
-     ) = refs[5 + n_kern :]
+     ) = refs[6 + n_kern :]
     gg = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
@@ -226,20 +230,29 @@ def _kernel_body(
             )  # (2*hb_pad, wi)
 
         rowdiff = rowdiff_ref[:]
-        hi = pltpu.roll(rowdiff, wi - hi_w, axis=1)
-        lo = pltpu.roll(rowdiff, wi - lo_w, axis=1)
-        d = hi - lo
-        # compact is built directly at the slots/einv DMA-aligned lane
-        # width: the filler lanes reuse d's leading columns (finite by
-        # construction — integral images are finite — so the rsqrt below
-        # stays NaN-free), and the FMA's value-slice drops them (measured
-        # free: the pure-dots wall is identical with and without the
-        # slice). A trailing jnp.pad measures the same as this fused
-        # concat — the epilogue's real cost is the per-slot dynamic
-        # lane-rolls above, not the pad form.
-        fill = [d[:, : lanes_e - gt * wb]] if lanes_e != gt * wb else []
-        compact = jnp.concatenate(
-            [d[:, q * we : q * we + wb] for q in range(gt)] + fill, axis=1
+        # Column box-sum + per-print compaction as ONE MXU dot. The naive
+        # lane pass (two dynamic LANE rolls of rowdiff + subtract + a
+        # lane-crossing compaction concatenate) is all lane-crossing VPU
+        # work — measured ~280 ms of a 3.43 s PB=56 batch. Instead the
+        # constant 0/1 selection matrix (input row q*we+x -> output lane
+        # q*wb+x) is rolled along its SUBLANE axis (cheap on TPU; lanes
+        # untouched) by hi_w/lo_w, so
+        #   (rowdiff @ (roll(sel, hi_w) - roll(sel, lo_w)))[r, q*wb+x]
+        #     = rowdiff[r, q*we+x+hi_w] - rowdiff[r, q*we+x+lo_w]
+        # exactly the clipped box sum. The +-1 band matrix is exact in f32
+        # and each output is a two-term sum, so the only new rounding is
+        # the MXU's f32(bf16x3) product pass — bounded by ~1e-7 x |operand|
+        # (validated on device by kernel_probe CHECK=1 and the backend
+        # rank-identity suite). Built by two iota compares (pure VPU, no
+        # dynamic roll lowering); indices never wrap: lidx + hi_w
+        # <= (gt-1)*we + (wb-1) + (we - wb) < gt*we <= wi.
+        lidx = lidx_ref[0]  # (1, lanes_e) int32 source column per out lane
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (wi, lanes_e), 0)
+        band = (rows_i == lidx + hi_w).astype(jnp.float32) - (
+            rows_i == lidx + lo_w
+        ).astype(jnp.float32)
+        compact = jnp.dot(
+            rowdiff, band, preferred_element_type=jnp.float32
         )  # (2*hb_pad, lanes_e)
         b1 = compact[:hb_pad]
         b2 = compact[hb_pad:]
@@ -696,6 +709,21 @@ def score_direct_pallas(
     slot_map = slot_map.astype(jnp.int32)  # (n_groups,)
     n_slots = int(slot_hw.shape[0])
 
+    # constant source-column index per output lane for the epilogue's
+    # box-sum band dot: output lane q*wb + x reads packed column q*we + x
+    # (the kernel offsets it by each slot's hi_w/lo_w and compares against
+    # a row iota to form the +-1 band matrix); the DMA-alignment filler
+    # lanes replay the leading columns (finite, so the rsqrt stays
+    # NaN-free). Pure geometry — built once per compiled shape.
+    lanes_e = -(-(gt * wb) // 128) * 128
+    lidx_np = _np.zeros((1, lanes_e), _np.int32)
+    for q in range(gt):
+        for x in range(wb):
+            lidx_np[0, q * wb + x] = q * we + x
+    for x in range(lanes_e - gt * wb):
+        lidx_np[0, gt * wb + x] = x
+    lidx = jnp.asarray(lidx_np)[None]  # (1, 1, lanes_e)
+
     body = functools.partial(
         _kernel_body, layout.class_counts, class_taps, layout.pb, gt, hb,
         hb_pad, wb, hk, wk, we, top, true_channels, compute_dtype,
@@ -713,6 +741,7 @@ def score_direct_pallas(
             pl.BlockSpec((g_pad, 2), lambda gg, cc: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, hb, gt * ws), lambda gg, cc: (cc, gg, 0, 0)),
             pl.BlockSpec((1, 1, 2 * he, wi), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, 1, lanes_e), lambda gg, cc: (0, 0, 0)),
             *[
                 pl.BlockSpec(
                     (1, kf.shape[1], kf.shape[2]), lambda gg, cc: (cc, 0, 0)
@@ -758,6 +787,7 @@ def score_direct_pallas(
         gvalid,
         p0p,
         int12p,
+        lidx,
         *kern_inputs,
     )
     return jnp.transpose(scores)[:n_total, :g]
