@@ -223,3 +223,36 @@ def test_per_class_tap_canvases_match_full_canvas():
         )
     )
     np.testing.assert_array_equal(got, full)
+
+
+def test_pallas_extreme_window_sizes():
+    """Band-dot geometry at the edges: a window as large as the kernel
+    canvas (maximal hi_w — exercises the lidx no-wrap bound
+    lidx + hi_w < gt*we) and a much smaller window in the same batch,
+    against prints both larger and smaller than the windows."""
+    rng = np.random.default_rng(3)
+    c = 3
+    prints = [
+        rng.normal(size=(c, 20, 20)).astype(np.float32),
+        rng.normal(size=(c, 9, 9)).astype(np.float32),  # smaller than big window
+        rng.normal(size=(c, 15, 18)).astype(np.float32),
+    ]
+    gal, gv = _pad_stack(prints, (20, 20))
+    cache = build_direct_cache(gal, gv, channel_block=3)
+    kernel_hw = (12, 12)
+    big = rng.normal(size=(c, 16, 16)).astype(np.float32)  # window = canvas
+    small = rng.normal(size=(c, 7, 8)).astype(np.float32)  # window (3, 4)
+    tm, tv = _pad_stack([big, small], (16, 16))
+    groups = [
+        VariantGroup(fold_template(tm[0], tv[0], kernel_hw)[None], tv[0] - 4),
+        VariantGroup(fold_template(tm[1], tv[1], kernel_hw)[None], tv[1] - 4),
+    ]
+    assert tuple(np.asarray(tv[0] - 4)) == kernel_hw  # maximal hi_w case
+    want = np.asarray(score_direct(cache, groups, true_channels=c))
+    for gt in (1, 2):
+        got = np.asarray(
+            score_direct_pallas(
+                cache, groups, true_channels=c, prints_per_step=gt, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6, err_msg=f"gt={gt}")
