@@ -127,7 +127,12 @@ def main() -> None:
             c_pad=-(-C // 8) * 8, resident_bytes=n_stacks * stack_b,
         )
         BLK = max(d for d in range(1, min(blk, G) + 1) if G % d == 0)
-        BLK = max(BLK, min(PB, G))  # probes are planted in block 0
+        if BLK < min(PB, G):
+            # probes are planted in block 0, so block 0 must hold them all;
+            # keep the divisor property (phantom prints in a padded tail
+            # block would otherwise enter the scores matrix and the top-1
+            # assertion) by taking the SMALLEST divisor of G that fits them
+            BLK = min(d for d in range(min(PB, G), G + 1) if G % d == 0)
 
     log(f"G={G} in blocks of {BLK}; C={C}; PB={PB} probes "
         f"({n_var_log} variant(s) each, {QB}/call)")

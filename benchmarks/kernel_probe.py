@@ -102,17 +102,17 @@ def main() -> None:
     fold_j = jax.jit(lambda t, v: fold(t, v, kernel_hw))
     # fold in equal chunks (one compiled shape) and free the raw template
     # stack: at deep PB the raw (N, C, tc, tc) stack + folded kernels
-    # together would crowd HBM
-    CHUNK = N // -(-N // 256)
+    # together would crowd HBM. CHUNK is the largest DIVISOR of N <= 256
+    # (N = PB * 25 so one always exists >= 25): the earlier floor-divide
+    # left a remainder tail that recompiled a second shape.
+    CHUNK = max(d for d in range(1, min(N, 256) + 1) if N % d == 0)
     chunks = []
     for i in range(0, N, CHUNK):
-        t_c, v_c = tmpl[i : i + CHUNK], row_win[i : i + CHUNK] + 4
-        pad = CHUNK - len(t_c)
-        if pad:
-            t_c = np.concatenate([t_c, t_c[:pad]])
-            v_c = np.concatenate([v_c, v_c[:pad]])
-        out = jax.block_until_ready(fold_j(jnp.asarray(t_c), jnp.asarray(v_c)))
-        chunks.append(out[: CHUNK - pad] if pad else out)
+        out = jax.block_until_ready(fold_j(
+            jnp.asarray(tmpl[i : i + CHUNK]),
+            jnp.asarray(row_win[i : i + CHUNK] + 4),
+        ))
+        chunks.append(out)
     kernels = jnp.concatenate(chunks)
     del tmpl, chunks
     uniq, inv = np.unique(wins, axis=0, return_inverse=True)

@@ -437,9 +437,10 @@ def device_vmem_bytes() -> int:
         kind = jax.devices()[0].device_kind
     except Exception:
         kind = ""
-    for prefix, size in _VMEM_BY_KIND.items():
+    # longest prefix wins: "TPU v5p" must not be shadowed by "TPU v5"
+    for prefix in sorted(_VMEM_BY_KIND, key=len, reverse=True):
         if kind.startswith(prefix):
-            return size
+            return _VMEM_BY_KIND[prefix]
     return 128 * 1024 * 1024
 
 
@@ -480,9 +481,9 @@ def device_hbm_bytes() -> int:
         kind = jax.devices()[0].device_kind
     except Exception:
         kind = ""
-    for prefix, size in _HBM_BY_KIND.items():
+    for prefix in sorted(_HBM_BY_KIND, key=len, reverse=True):
         if kind.startswith(prefix):
-            return size
+            return _HBM_BY_KIND[prefix]
     return int(15.75e9)
 
 
@@ -549,11 +550,16 @@ def auto_probe_rows(
     lanes = gt * wb
     lanes_e = -(-lanes // 128) * 128  # slots/einv DMA-aligned lane width
     ws = wb + wk - 1
-    # integral-image block extents (mirrors score_direct_pallas's packing)
+    # integral-image block extents: EXACTLY score_direct_pallas's packing —
+    # integral images are (hb+1, wb+1), extended by `top` (top/left) and
+    # `bot` (bottom/right), heights then 8-aligned. An earlier version
+    # dropped the integral's +1 and the (hb_pad-hb) share of `bot` from
+    # `we`, which can undercount `wi` by a whole 128-lane tile right at a
+    # packing boundary and let the solved N land past the true VMEM edge.
     top = hk // 2 + 1
-    he = hb + 2 * top + 1 + (hb_pad - hb)
-    he = -(-he // 8) * 8
-    we = wb + 2 * top + 1
+    bot = top + 1 + (hb_pad - hb)
+    he = -(-(hb + 1 + top + bot) // 8) * 8
+    we = wb + 1 + top + bot
     wi = -(-(gt * we) // 128) * 128
     # linear model: per-row cost (acc + einv amortized + kern blocks + out +
     # Mosaic stack growth, calibrated via mosaic_headroom_bytes)

@@ -106,6 +106,16 @@ class Pipeline:
         import threading
 
         self._build_lock = threading.Lock()
+        # device-residency gate: a prewarm thread's dummy scoring pass and
+        # the main thread's real scoring each hold a full auto-sized gallery
+        # block (+ variant stacks) on device — auto_gallery_block budgets
+        # that footprint for ONE consumer, so running both concurrently can
+        # OOM HBM with the failure landing in the real run. The gate
+        # serializes only the scoring device work; compile overlap with
+        # ingest/extraction (prewarm's purpose) is untouched, and a real
+        # run that arrives early just blocks on the same compile it would
+        # otherwise have to run itself.
+        self._score_gate = threading.Lock()
         self.gallery_cache = GalleryFeatureCache(config["tpu"]["cache_dir"] or None)
 
         planner_cfg = PlannerConfig(
@@ -608,7 +618,24 @@ class Pipeline:
         unscaled originals as one class, each scale as another — see
         :class:`~..ops.ncc_direct.PackedVariants`) scored against every
         print by the configured NCC backend; max over variants.
+
+        Serialized on ``_score_gate``: the device footprint (gallery-block
+        cache + variant stacks) is budgeted for one consumer, and this
+        method runs from both the main thread and prewarm threads.
         """
+        with self._score_gate:
+            return self._score_cluster_gated(
+                q_maps, q_valid, g_maps, g_valid, prewarm
+            )
+
+    def _score_cluster_gated(
+        self,
+        q_maps: np.ndarray,
+        q_valid: np.ndarray,
+        g_maps: np.ndarray,
+        g_valid: np.ndarray,
+        prewarm: bool = False,
+    ) -> np.ndarray:
         true_c = q_maps.shape[1]
         hc, wc = q_maps.shape[2], q_maps.shape[3]
         rot_idx, rot_ok, wv, wh, scale_hw, tc, mode, n_rot, n_scl = self._variant_plan(
