@@ -51,7 +51,9 @@ def main() -> None:
         fold_template,
     )
     from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
-        score_direct_pallas,
+        pack_gallery_operands,
+        pack_kernel_operands,
+        score_packed_operands,
     )
     from shoeprint_image_retrieval_tpu.ops.warp import (
         pil_resize_size,
@@ -159,7 +161,14 @@ def main() -> None:
     # NOTE: the cache must be a jit *argument*, not a closure capture — jit
     # constant-folds closures by pulling them to host, and large device->host
     # transfers hang over the axon tunnel.
-    def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
+    # Gallery operands are packed ONCE per score_all_jit call (hoisted out
+    # of the per-batch lax.map body — the multi-GB packing passes used to
+    # re-run per probe batch inside score_direct_pallas); per-batch work is
+    # the variant build + kernel transpose + the fused kernel itself.
+    dtype = jnp.bfloat16 if BF16 else jnp.float32
+    c_pad8 = -(-C // 8) * 8
+
+    def score_batch(gops, maps, valid, ridx, rok, wvq, whq, shw,
                     windows, slot_hw, slot_map):
         def one(maps_p, valid_p, ridx_p, rok_p, wv_p, wh_p, shw_p):
             flat = maps_p.reshape(C, hc * wc)
@@ -172,17 +181,37 @@ def main() -> None:
             )
             return base_k, fold_rs(scaled, shw_p, kernel_hw)
 
-        base_k, scaled_k = jax.vmap(one)(maps, valid, ridx, rok, wvq, whq, shw)
+        # build the variant stack in probe chunks: a full-batch vmap's rot
+        # gather materializes (PB, 8, C, hc, wc) twice at lane-padded
+        # layouts (hc/wc pad to 128 lanes -> ~5.8 GB at PB=56), which now
+        # must coexist with the persistent packed gallery operands; 8-probe
+        # chunks bound the build temps near 1 GB at identical build cost
+        args7 = (maps, valid, ridx, rok, wvq, whq, shw)
+        ch = 8 if PB % 8 == 0 else PB
+        if ch != PB:
+            chunked = jax.tree.map(
+                lambda x: x.reshape(PB // ch, ch, *x.shape[1:]), args7
+            )
+            base_k, scaled_k = jax.lax.map(
+                lambda a: jax.vmap(one)(*a), chunked
+            )
+            base_k = base_k.reshape(PB, *base_k.shape[2:])
+            scaled_k = scaled_k.reshape(PB, *scaled_k.shape[2:])
+        else:
+            base_k, scaled_k = jax.vmap(one)(*args7)
         ck = base_k.shape[-3:]
         kerns = [base_k.reshape(PB * b0, *ck)]
         for si in range(n_scl):
             kerns.append(scaled_k[:, si].reshape(PB * (1 + n_rot), *ck))
-        packed = PackedVariants(jnp.concatenate(kerns), windows)
-        scores = score_direct_pallas(
-            cache_arg, packed, true_channels=C, layout=layout,
-            slot_hw=slot_hw, slot_map=slot_map,
-            compute_dtype=jnp.bfloat16 if BF16 else jnp.float32,
+        kern_inputs = pack_kernel_operands(
+            jnp.concatenate(kerns), layout=layout, c_pad=c_pad8,
+            compute_dtype=dtype,
         )
+        scores = score_packed_operands(
+            gops, kern_inputs, slot_hw, slot_map, layout=layout,
+            true_channels=C, hk=kernel_hw[0], wk=kernel_hw[1],
+            compute_dtype=dtype,
+        )[:, :G]
         parts, off = [], 0
         for cnt in class_counts:
             parts.append(scores[off : off + PB * cnt].reshape(PB, cnt, -1))
@@ -199,23 +228,36 @@ def main() -> None:
         return (*cols, jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap))
 
     batches = [stack_args(lo) for lo in starts]
-    # ONE jit call scans every probe batch (one warmup covers the whole
-    # sweep; timing is pure device work). Per-batch steady state decomposes
-    # as ~2.54 s kernel + ~0.32 s variant build/packing/grid streaming
-    # (measured with NCC_SKIP=dots,rolls,epilogue,mac).
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    # Engine-structure scoring (the production single-block path): gallery
+    # operands packed ONCE in their own jit (the multi-GB packing passes
+    # used to re-run per probe batch inside score_direct_pallas), then one
+    # jit call per probe batch fusing variant build + kernel packing + the
+    # Pallas kernel, results pulled two submissions behind the enqueue
+    # front. A single lax.map mega-jit with hoisted operands OOMs HBM: the
+    # packed operands (~5 GB at G=300) would coexist with the loop body's
+    # variant-build temps instead of staging.
+    pack_gal = jax.jit(
+        lambda c: pack_gallery_operands(c, hk=kernel_hw[0], wk=kernel_hw[1])
+    )
+    score_batch_j = jax.jit(score_batch)
 
-    @jax.jit
-    def score_all_jit(cache_arg, stacked_args):
-        return jax.lax.map(lambda b: score_batch(cache_arg, *b), stacked_args)
+    def run_all():
+        gops = pack_gal(cache)
+        pend = []
+        outs = []
+        for b in batches:
+            pend.append(score_batch_j(gops, *b))
+            if len(pend) > 2:
+                outs.append(np.asarray(pend.pop(0)))
+        outs.extend(np.asarray(p) for p in pend)
+        return outs
 
     t0 = time.perf_counter()
-    np.asarray(score_all_jit(cache, stacked))  # host pull: block_until_ready
-    log(f"compile+warmup: {time.perf_counter() - t0:.2f}s")  # can return at
-    # enqueue over the axon tunnel, so timing must round-trip real bytes.
+    run_all()  # host pulls block on real bytes over the axon tunnel
+    log(f"compile+warmup: {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
-    rows = np.asarray(score_all_jit(cache, stacked))  # (nb, PB, G) f32
+    rows = run_all()  # list of (PB, G) f32
     dt = time.perf_counter() - t0
     pps = (len(batches) * PB) / dt
     log(f"{len(batches) * PB} probes x {n_var} variants x {G} prints in "

@@ -81,7 +81,11 @@ def main() -> None:
         build_direct_cache,
         fold_template,
     )
-    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import score_direct_pallas
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        pack_gallery_operands,
+        pack_kernel_operands,
+        score_packed_operands,
+    )
     from shoeprint_image_retrieval_tpu.retrieval import oracle
 
     if args.quick:
@@ -251,12 +255,32 @@ def main() -> None:
             f"({sum(b[0].kernels.nbytes for b in batches)/1e9:.2f} GB HBM), "
             f"reused across all blocks")
 
-    @jax.jit
-    def score_block(cache_arg, packed, slot_hw, slot_map):
-        s = score_direct_pallas(
-            cache_arg, packed, true_channels=C, layout=layout,
-            slot_hw=slot_hw, slot_map=slot_map,
+    # hoisted operand packing: each batch's kernel transpose runs ONCE (not
+    # once per gallery block — 2.6 GB of HBM traffic per call at sweep
+    # shapes), and each block's gallery packing runs once (not once per
+    # probe batch); score_block is then the bare fused kernel + regroup
+    c_pad8 = -(-C // 8) * 8
+    pack_gal = jax.jit(
+        lambda cache_arg: pack_gallery_operands(
+            cache_arg, hk=kernel_hw[0], wk=kernel_hw[1]
         )
+    )
+    pack_kerns = jax.jit(
+        lambda kernels: pack_kernel_operands(
+            kernels, layout=layout, c_pad=c_pad8
+        )
+    )
+    batches = [
+        (jax.block_until_ready(pack_kerns(pk.kernels)), sh, sm)
+        for (pk, sh, sm) in batches
+    ]
+
+    @jax.jit
+    def score_block(gops, kern_inputs, slot_hw, slot_map):
+        s = score_packed_operands(
+            gops, kern_inputs, slot_hw, slot_map, layout=layout,
+            true_channels=C, hk=kernel_hw[0], wk=kernel_hw[1],
+        )[:, :BLK]
         if not args.sweep:
             return s
         parts, off = [], 0
@@ -273,10 +297,14 @@ def main() -> None:
     t0 = time.perf_counter()
     bs0 = jnp.asarray(block_sizes(0, BLK, g_lo, g_hi))
     cache0 = build_cache(gen(0, bs0), bs0)
-    np.asarray(score_block(cache0, *batches[0]))
+    gops0 = pack_gal(cache0)
+    np.asarray(score_block(gops0, *batches[0]))
     log(f"compile+warmup: {time.perf_counter() - t0:.2f}s")
     hbm = sum(a.nbytes for a in cache0) / 1e9
-    log(f"per-block cache HBM: {hbm:.2f} GB (x{n_blocks} blocks streamed)")
+    gops_hbm = sum(a.nbytes for a in gops0) / 1e9
+    del cache0, gops0
+    log(f"per-block cache HBM: {hbm:.2f} GB + {gops_hbm:.2f} GB packed "
+        f"operands (x{n_blocks} blocks streamed)")
 
     # The block loop is PIPELINED: scores stay on device and are pulled two
     # blocks behind the enqueue front, so the tunnel's host round-trip and
@@ -294,11 +322,13 @@ def main() -> None:
     for bi in range(n_blocks):
         bs = jnp.asarray(block_sizes(bi, BLK, g_lo, g_hi))
         cache = build_cache(gen(bi, bs), bs)
-        for k, (pk, sh, sm) in enumerate(batches):
-            pending.append((bi, k, score_block(cache, pk, sh, sm)))
+        gops = pack_gal(cache)
+        del cache  # the kernel reads only the packed operands
+        for k, (ki, sh, sm) in enumerate(batches):
+            pending.append((bi, k, score_block(gops, ki, sh, sm)))
             if len(pending) > 2:
                 pull(*pending.pop(0))
-        del cache  # allow the allocator to retire the 2 GB block cache
+        del gops  # allow the allocator to retire the block's operands
     for item in pending:
         pull(*item)
     dt = time.perf_counter() - t0

@@ -133,7 +133,9 @@ def main() -> None:
         build_direct_cache, score_direct,
     )
     from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
-        score_direct_pallas,
+        pack_gallery_operands,
+        pack_kernel_operands,
+        score_packed_operands,
     )
     from shoeprint_image_retrieval_tpu.parallel.mesh import build_mesh
     from shoeprint_image_retrieval_tpu.parallel.sharded import (
@@ -162,11 +164,24 @@ def main() -> None:
 
     use_pallas = not SCALING
 
+    # both sides run the HOISTED operand path (pack once, time the bare
+    # kernel + wrapper) — the engine's production structure on each
+    kernel_hw = tuple(int(v) for v in packed.kernels.shape[-2:])
+
     def run_direct():
         if use_pallas:
-            f = jax.jit(lambda c, p, sh, sm: score_direct_pallas(
-                c, p, true_channels=C, layout=layout, slot_hw=sh, slot_map=sm))
-            return f, (cache, packed, slot_hw, slot_map)
+            gops = jax.block_until_ready(jax.jit(
+                lambda c: pack_gallery_operands(
+                    c, hk=kernel_hw[0], wk=kernel_hw[1])
+            )(cache))
+            ki = jax.block_until_ready(jax.jit(
+                lambda k: pack_kernel_operands(
+                    k, layout=layout, c_pad=cache.p0.shape[0])
+            )(packed.kernels))
+            f = jax.jit(lambda g, k, sh, sm: score_packed_operands(
+                g, k, sh, sm, true_channels=C, layout=layout,
+                hk=kernel_hw[0], wk=kernel_hw[1])[:, :G])
+            return f, (gops, ki, slot_hw, slot_map)
         f = jax.jit(lambda c, p: score_direct(
             c, p, true_channels=C, layout=layout))
         return f, (cache, packed)
@@ -193,6 +208,7 @@ def main() -> None:
         scorer = make_sharded_packed_scorer(
             mesh, sc, true_channels=C, layout=layout, g_true=g_true,
             use_pallas=use_pallas,
+            kernel_hw=kernel_hw if use_pallas else None,
         )
         t0 = time.perf_counter()
         rows = np.asarray(scorer(packed, slot_hw, slot_map))

@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Sequence
+from typing import NamedTuple as _NamedTuple, Sequence
 
 # Profiling knob (benchmarks/kernel_probe.py, BASELINE.md kernel time
 # split): NCC_SKIP is a comma-set of kernel sections to elide —
@@ -582,6 +582,153 @@ def auto_probe_rows(
     return max(64, (n // 8) * 8)
 
 
+class PackedGalleryOperands(_NamedTuple):
+    """Kernel-ready packed gallery operands, reusable across probe batches.
+
+    Built once per gallery (block) by :func:`pack_gallery_operands`; every
+    probe batch scored against the block reuses the same arrays. The packing
+    (channel/print pads, integral edge-extension, lane packing, concats) is
+    several full HBM passes over cache-sized arrays (~GBs at WVU scale) and
+    used to re-run inside EVERY ``score_direct_pallas`` call — per probe
+    batch per block — even though it depends only on the cache and the
+    kernel canvas.
+    """
+
+    p0p: jnp.ndarray     # (C, G_pad/gt, hb, gt*ws) f32 packed demeaned prints
+    int12p: jnp.ndarray  # (C, G_pad/gt, 2*he, wi) f32 int1 over int2, extended
+    gvalid: jnp.ndarray  # (G_pad, 2) int32 per-print valid sizes
+
+
+def pack_gallery_gt(wb: int) -> int:
+    """Default prints-per-step lane packing for a post-crop print width."""
+    return max(1, min(4, 128 // max(1, wb)))
+
+
+def pack_gallery_operands(
+    cache: DirectGalleryCache,
+    *,
+    hk: int,
+    wk: int,
+    prints_per_step: int | None = None,
+) -> PackedGalleryOperands:
+    """Pack a direct gallery cache into the fused kernel's operand layout.
+
+    Depends only on the cache and the (hk, wk) kernel canvas — NOT on the
+    probe batch — so callers scoring several probe batches against one
+    gallery block should call this once and feed the result to
+    :func:`score_packed_operands` (the cache itself can then be freed: the
+    kernel never reads it).
+    """
+    c_pad, g, hb, wb = cache.p0.shape
+    gt = prints_per_step or pack_gallery_gt(wb)
+    g_pad = -(-g // gt) * gt
+    hb_pad = -(-hb // 8) * 8
+
+    def pad_g(a):
+        return jnp.pad(a, ((0, 0), (0, g_pad - g), (0, 0), (0, 0)))
+
+    # packed prints: per-print span ws with the content at lane offset wk//2
+    ws = wb + wk - 1
+    p0p = jnp.pad(pad_g(cache.p0), ((0, 0), (0, 0), (0, 0), (wk // 2, ws - wb - wk // 2)))
+    p0p = _pack_lanes(p0p, gt)  # (C, G/gt, hb, gt*ws)
+
+    # packed, edge-extended integral images; total width 128-aligned for the
+    # dynamic lane-rolls (padding is never read: hi_w + wb <= we)
+    top = hk // 2 + 1
+    bot = top + 1 + (hb_pad - hb)
+    int1e = _extend_integral(pad_g(cache.int1), top, bot)
+    int2e = _extend_integral(pad_g(cache.int2), top, bot)
+    # height 8-aligned for the dynamic sublane rolls (padding is never read)
+    he_pad = -(-int1e.shape[-2] // 8) * 8 - int1e.shape[-2]
+    int1e = jnp.pad(int1e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
+    int2e = jnp.pad(int2e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
+    we = int1e.shape[-1]
+    wi = -(-(gt * we) // 128) * 128
+    int12p = jnp.concatenate([_pack_lanes(int1e, gt), _pack_lanes(int2e, gt)], axis=2)
+    int12p = jnp.pad(int12p, ((0, 0), (0, 0), (0, 0), (0, wi - gt * we)))
+
+    gvalid = jnp.concatenate(
+        [cache.valid_hw, jnp.full((g_pad - g, 2), 8, cache.valid_hw.dtype)]
+    ).astype(jnp.int32)
+    return PackedGalleryOperands(p0p, int12p, gvalid)
+
+
+def derive_class_taps(
+    class_canvas_hw: Sequence[tuple[int, int]] | None,
+    *,
+    hk: int,
+    wk: int,
+    n_classes: int,
+) -> tuple[tuple[int, int, int, int], ...] | None:
+    """Static per-class tap sub-rectangles (hk_c, wk_c, du, dv) for
+    ``class_canvas_hw`` (see :func:`score_direct_pallas`); None when every
+    class uses the full canvas."""
+    if class_canvas_hw is None:
+        return None
+    if len(class_canvas_hw) != n_classes:
+        raise ValueError(
+            f"class_canvas_hw has {len(class_canvas_hw)} entries for "
+            f"{n_classes} classes"
+        )
+    if all(int(h) >= hk and int(w) >= wk for h, w in class_canvas_hw):
+        return None
+    taps = []
+    for h, w in class_canvas_hw:
+        hk_c = min(hk, max(1, int(h)))
+        wk_c = min(wk, max(1, int(w)))
+        taps.append((hk_c, wk_c, hk // 2 - hk_c // 2, wk // 2 - wk_c // 2))
+    return tuple(taps)
+
+
+def pack_kernel_operands(
+    kernels: jnp.ndarray,
+    *,
+    layout: VariantLayout,
+    c_pad: int,
+    compute_dtype=jnp.float32,
+    class_taps: tuple[tuple[int, int, int, int], ...] | None = None,
+) -> list[jnp.ndarray]:
+    """Transpose a folded variant stack into the kernel's (v, u)-major
+    channel-leading operand layout.
+
+    Depends only on the probe batch's variant stack — NOT on the gallery —
+    so a multi-block gallery loop should pack each batch's kernels once and
+    reuse them for every block (round 3 measured the per-call transpose at
+    ~2.6 GB of HBM traffic at PB=56 sweep shapes).
+    """
+    n_total = layout.n_variants
+    n_pad = -(-n_total // 8) * 8
+    hk, wk = kernels.shape[-2:]
+    if kernels.shape[1] != c_pad:
+        kernels = jnp.pad(kernels, ((0, 0), (0, c_pad - kernels.shape[1]), (0, 0), (0, 0)))
+
+    if class_taps is None:
+        k_all = kernels
+        if n_pad != n_total:
+            k_all = jnp.pad(k_all, ((0, n_pad - n_total), (0, 0), (0, 0), (0, 0)))
+        # (v, u)-major tap order matches the rolls-slice patch layout
+        return [
+            jnp.transpose(k_all, (1, 0, 3, 2)).reshape(
+                c_pad, n_pad, wk * hk
+            ).astype(compute_dtype)
+        ]
+    kern_inputs = []
+    off = 0
+    for (hk_c, wk_c, du, dv), cnt in zip(class_taps, layout.class_counts):
+        n_cls = layout.pb * cnt
+        rows = kernels[off : off + n_cls, :, du : du + hk_c, dv : dv + wk_c]
+        n_cls_pad = -(-n_cls // 8) * 8
+        if n_cls_pad != n_cls:
+            rows = jnp.pad(rows, ((0, n_cls_pad - n_cls), (0, 0), (0, 0), (0, 0)))
+        kern_inputs.append(
+            jnp.transpose(rows, (1, 0, 3, 2)).reshape(
+                c_pad, n_cls_pad, wk_c * hk_c
+            ).astype(compute_dtype)
+        )
+        off += n_cls
+    return kern_inputs
+
+
 def score_direct_pallas(
     cache: DirectGalleryCache,
     groups: Sequence[VariantGroup] | PackedVariants,
@@ -618,6 +765,12 @@ def score_direct_pallas(
     (f32 accumulation; measured NO faster than f32 on this chip — the
     tunneled v5e delivers ~45 TFLOP/s at either precision, see
     benchmarks/mxu_probe.py). Returns (N_total, G) float32 scores.
+
+    This is the one-shot composition of :func:`pack_kernel_operands` +
+    :func:`pack_gallery_operands` + :func:`score_packed_operands`; callers
+    scoring several probe batches against one gallery block (or one batch
+    against several blocks) should call the pieces and reuse the packed
+    operands across calls — the packing passes move multi-GB arrays.
     """
     if layout is None:
         packed, layout = pack_variant_groups(groups)
@@ -628,92 +781,75 @@ def score_direct_pallas(
         slot_hw = packed.window_hw  # identity: one slot per group
         slot_map = jnp.arange(layout.n_groups, dtype=jnp.int32)
 
-    c_pad, g, hb, wb = cache.p0.shape
+    c_pad, g = cache.p0.shape[0], cache.p0.shape[1]
     hk, wk = packed.kernels.shape[-2:]
+    class_taps = derive_class_taps(
+        class_canvas_hw, hk=hk, wk=wk, n_classes=len(layout.class_counts)
+    )
+    kern_inputs = pack_kernel_operands(
+        packed.kernels, layout=layout, c_pad=c_pad,
+        compute_dtype=compute_dtype, class_taps=class_taps,
+    )
+    gops = pack_gallery_operands(
+        cache, hk=hk, wk=wk, prints_per_step=prints_per_step
+    )
+    scores = score_packed_operands(
+        gops, kern_inputs, slot_hw, slot_map,
+        layout=layout, true_channels=true_channels, hk=hk, wk=wk,
+        class_taps=class_taps, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    return scores[:, :g]
+
+
+def score_packed_operands(
+    gops: PackedGalleryOperands,
+    kern_inputs: Sequence[jnp.ndarray],
+    slot_hw: jnp.ndarray,
+    slot_map: jnp.ndarray,
+    *,
+    layout: VariantLayout,
+    true_channels: int,
+    hk: int,
+    wk: int,
+    class_taps: tuple[tuple[int, int, int, int], ...] | None = None,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused NCC kernel on pre-packed operands.
+
+    ``gops`` from :func:`pack_gallery_operands` (reusable across probe
+    batches), ``kern_inputs`` from :func:`pack_kernel_operands` (reusable
+    across gallery blocks). Returns (N_total, G_pad) float32 scores — the
+    caller slices the gallery pad columns (filler prints score a masked max
+    over their 8x8 dummy region, finite but meaningless).
+    """
+    c_pad, n_gg, hb, p0_lanes = gops.p0p.shape
+    g_pad = gops.gvalid.shape[0]
+    gt = g_pad // n_gg
+    ws = p0_lanes // gt
+    wb = ws - wk + 1
+    hb_pad = -(-hb // 8) * 8
     n_total = layout.n_variants
     n_pad = -(-n_total // 8) * 8
 
-    gt = prints_per_step or max(1, min(4, 128 // wb))
-    g_pad = -(-g // gt) * gt
-    hb_pad = -(-hb // 8) * 8  # output rows processed in aligned 8-row blocks
-
-    kernels = packed.kernels  # (N, C, hk, wk)
-    if kernels.shape[1] != c_pad:
-        kernels = jnp.pad(kernels, ((0, 0), (0, c_pad - kernels.shape[1]), (0, 0), (0, 0)))
-
-    # per-class tap rectangles (see docstring): centered sub-canvases with
-    # static offsets; None (or all-full canvases) keeps the one-dot path
-    if class_canvas_hw is not None:
-        if len(class_canvas_hw) != len(layout.class_counts):
-            raise ValueError(
-                f"class_canvas_hw has {len(class_canvas_hw)} entries for "
-                f"{len(layout.class_counts)} classes"
-            )
-        if all(int(h) >= hk and int(w) >= wk for h, w in class_canvas_hw):
-            class_canvas_hw = None
-    if class_canvas_hw is None:
-        class_taps = None
-        k_all = kernels
-        if n_pad != n_total:
-            k_all = jnp.pad(k_all, ((0, n_pad - n_total), (0, 0), (0, 0), (0, 0)))
-        # (v, u)-major tap order matches the rolls-slice patch layout
-        kern_inputs = [
-            jnp.transpose(k_all, (1, 0, 3, 2)).reshape(
-                c_pad, n_pad, wk * hk
-            ).astype(compute_dtype)
-        ]
-    else:
-        class_taps = []
-        kern_inputs = []
-        off = 0
-        for ci, cnt in enumerate(layout.class_counts):
-            hk_c = min(hk, max(1, int(class_canvas_hw[ci][0])))
-            wk_c = min(wk, max(1, int(class_canvas_hw[ci][1])))
-            du, dv = hk // 2 - hk_c // 2, wk // 2 - wk_c // 2
-            class_taps.append((hk_c, wk_c, du, dv))
-            n_cls = layout.pb * cnt
-            rows = kernels[off : off + n_cls, :, du : du + hk_c, dv : dv + wk_c]
-            n_cls_pad = -(-n_cls // 8) * 8
-            if n_cls_pad != n_cls:
-                rows = jnp.pad(rows, ((0, n_cls_pad - n_cls), (0, 0), (0, 0), (0, 0)))
-            kern_inputs.append(
-                jnp.transpose(rows, (1, 0, 3, 2)).reshape(
-                    c_pad, n_cls_pad, wk_c * hk_c
-                ).astype(compute_dtype)
-            )
-            off += n_cls
-        class_taps = tuple(class_taps)
-
-    def pad_g(a):
-        return jnp.pad(a, ((0, 0), (0, g_pad - g), (0, 0), (0, 0)))
-
-    # packed prints: per-print span ws with the content at lane offset wk//2
-    ws = wb + wk - 1
-    p0p = jnp.pad(pad_g(cache.p0), ((0, 0), (0, 0), (0, 0), (wk // 2, ws - wb - wk // 2)))
-    p0p = _pack_lanes(p0p, gt)  # (C, G/gt, hb, gt*ws)
-
-    # packed, edge-extended integral images; total width 128-aligned for the
-    # dynamic lane-rolls (padding is never read: hi_w + wb <= we)
+    # geometry implied by the packing (see pack_gallery_operands)
     top = hk // 2 + 1
     bot = top + 1 + (hb_pad - hb)
-    int1e = _extend_integral(pad_g(cache.int1), top, bot)
-    int2e = _extend_integral(pad_g(cache.int2), top, bot)
-    # height 8-aligned for the dynamic sublane rolls (padding is never read)
-    he_pad = -(-int1e.shape[-2] // 8) * 8 - int1e.shape[-2]
-    int1e = jnp.pad(int1e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
-    int2e = jnp.pad(int2e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
-    he, we = int1e.shape[-2], int1e.shape[-1]
+    we = wb + 1 + top + bot
+    he = -(-(hb + 1 + top + bot) // 8) * 8
     wi = -(-(gt * we) // 128) * 128
-    int12p = jnp.concatenate([_pack_lanes(int1e, gt), _pack_lanes(int2e, gt)], axis=2)
-    int12p = jnp.pad(int12p, ((0, 0), (0, 0), (0, 0), (0, wi - gt * we)))
-
-    gvalid = jnp.concatenate(
-        [cache.valid_hw, jnp.full((g_pad - g, 2), 8, cache.valid_hw.dtype)]
-    ).astype(jnp.int32)
+    if gops.int12p.shape[-2:] != (2 * he, wi):
+        raise ValueError(
+            f"gallery operands shaped {gops.int12p.shape[-2:]} do not match "
+            f"the (hk={hk}, wk={wk}) canvas geometry (2*he={2*he}, wi={wi}) "
+            "— were they packed for a different kernel canvas?"
+        )
 
     slot_hw = slot_hw.astype(jnp.int32)   # (n_slots, 2)
     slot_map = slot_map.astype(jnp.int32)  # (n_groups,)
     n_slots = int(slot_hw.shape[0])
+    p0p, int12p, gvalid = gops.p0p, gops.int12p, gops.gvalid
+    kern_inputs = list(kern_inputs)
 
     # constant source-column index per output lane for the epilogue's
     # box-sum band dot: output lane q*wb + x reads packed column q*we + x
@@ -735,7 +871,6 @@ def score_direct_pallas(
         hb_pad, wb, hk, wk, we, top, true_channels, compute_dtype,
     )
 
-    n_gg = g_pad // gt
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_gg, c_pad),
@@ -796,4 +931,4 @@ def score_direct_pallas(
         lidx,
         *kern_inputs,
     )
-    return jnp.transpose(scores)[:n_total, :g]
+    return jnp.transpose(scores)[:n_total]

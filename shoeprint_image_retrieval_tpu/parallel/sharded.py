@@ -27,7 +27,14 @@ from ..ops.ncc_direct import (
     VariantLayout,
     score_direct,
 )
-from ..ops.pallas.ncc_kernel import score_direct_pallas
+from ..ops.pallas.ncc_kernel import (
+    PackedGalleryOperands,
+    derive_class_taps,
+    pack_gallery_operands,
+    pack_kernel_operands,
+    score_direct_pallas,
+    score_packed_operands,
+)
 from .mesh import GALLERY_AXIS, pad_gallery_cache
 
 
@@ -163,6 +170,7 @@ def make_sharded_packed_scorer(
     compute_dtype=jnp.float32,
     interpret: bool = False,
     class_canvas_hw: tuple[tuple[int, int], ...] | None = None,
+    kernel_hw: tuple[int, int] | None = None,
 ):
     """Jitted (packed, slot_hw, slot_map) -> (N, G) scorer over the mesh.
 
@@ -173,65 +181,155 @@ def make_sharded_packed_scorer(
     variant stack and window-size slots are replicated to every device;
     each device scores its gallery shard; score rows ride ICI through one
     tiled ``all_gather``.
+
+    With ``use_pallas`` and a static ``kernel_hw`` (the engine always knows
+    its fold canvas), each shard's multi-GB gallery-operand packing runs
+    ONCE here at scorer creation instead of inside every score call — the
+    same hoist the single-device engine path does with
+    :func:`~..ops.pallas.ncc_kernel.pack_gallery_operands`.
     """
 
+    use_pops = use_pallas and kernel_hw is not None
+    # g_local: each shard's true print count (pre-gt-pad) — static per
+    # compiled program, so it keys the memo (the jitted impl closes over it)
+    g_local = (
+        sharded_cache.p0.shape[1] // mesh.shape[GALLERY_AXIS]
+        if use_pops else None
+    )
     impl_key = (
         mesh, true_channels, layout, g_true, use_pallas,
-        str(compute_dtype), interpret, class_canvas_hw,
+        str(compute_dtype), interpret, class_canvas_hw, kernel_hw, g_local,
     )
-    score_impl = _packed_scorer_impls.get(impl_key)
-    if score_impl is not None:
+    impls = _packed_scorer_impls.get(impl_key)
+    if impls is not None:
         _packed_scorer_impls.move_to_end(impl_key)
+        score_impl, pack_impl = impls
     else:
+        pack_impl = None
+        if use_pops:
+            hk, wk = kernel_hw
+            class_taps = derive_class_taps(
+                class_canvas_hw, hk=hk, wk=wk,
+                n_classes=len(layout.class_counts),
+            )
 
-        def local(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
-            local_cache = DirectGalleryCache(p0, int1, int2, gvalid)
-            packed = PackedVariants(kernels, window_hw)
-            if use_pallas:
-                s = score_direct_pallas(
-                    local_cache, packed, true_channels=true_channels,
-                    layout=layout, slot_hw=slot_hw, slot_map=slot_map,
-                    compute_dtype=compute_dtype, interpret=interpret,
-                    class_canvas_hw=class_canvas_hw,
+            def pack_local(p0, int1, int2, gvalid):
+                return pack_gallery_operands(
+                    DirectGalleryCache(p0, int1, int2, gvalid), hk=hk, wk=wk
                 )
-            else:
-                s = score_direct(
-                    local_cache, packed, true_channels=true_channels,
-                    layout=layout, compute_dtype=compute_dtype,
+
+            pack_impl = jax.jit(jax.shard_map(
+                pack_local,
+                mesh=mesh,
+                in_specs=(
+                    P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
+                    P(None, GALLERY_AXIS), P(GALLERY_AXIS),
+                ),
+                out_specs=PackedGalleryOperands(
+                    P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(GALLERY_AXIS)
+                ),
+            ))
+
+            def local(p0p, int12p, gvalid, kernels, slot_hw, slot_map):
+                # the kernel returns the shard's gt-padded columns, which
+                # must be sliced to g_local (the shard's true print count)
+                # before the tiled all_gather re-concatenates shards or the
+                # pad columns would interleave into the rows
+                kern_inputs = pack_kernel_operands(
+                    kernels, layout=layout, c_pad=p0p.shape[0],
+                    compute_dtype=compute_dtype, class_taps=class_taps,
                 )
-            return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
+                s = score_packed_operands(
+                    PackedGalleryOperands(p0p, int12p, gvalid), kern_inputs,
+                    slot_hw, slot_map, layout=layout,
+                    true_channels=true_channels, hk=hk, wk=wk,
+                    class_taps=class_taps, compute_dtype=compute_dtype,
+                    interpret=interpret,
+                )[:, :g_local]
+                return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
 
-        mapped = jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(
-                P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
-                P(GALLERY_AXIS), P(), P(), P(), P(),
-            ),
-            out_specs=P(),
-            # after the tiled all_gather every device holds identical full
-            # rows; the static vma checker cannot infer that
-            check_vma=False,
-        )
+            mapped = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
+                    P(GALLERY_AXIS), P(), P(), P(),
+                ),
+                out_specs=P(),
+                # after the tiled all_gather every device holds identical
+                # full rows; the static vma checker cannot infer that
+                check_vma=False,
+            )
 
-        # cache as jit argument, not closure capture (see make_sharded_scorer):
-        # captured arrays constant-fold through a device->host pull that hangs
-        # over the axon tunnel at real cache sizes
-        @jax.jit
-        def score_impl(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
-            s = mapped(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map)
-            return s[:, :g_true] if g_true is not None else s
+            @jax.jit
+            def score_impl(p0p, int12p, gvalid, kernels, slot_hw, slot_map):
+                s = mapped(p0p, int12p, gvalid, kernels, slot_hw, slot_map)
+                return s[:, :g_true] if g_true is not None else s
 
-        _packed_scorer_impls[impl_key] = score_impl
+        else:
+
+            def local(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
+                local_cache = DirectGalleryCache(p0, int1, int2, gvalid)
+                packed = PackedVariants(kernels, window_hw)
+                if use_pallas:
+                    s = score_direct_pallas(
+                        local_cache, packed, true_channels=true_channels,
+                        layout=layout, slot_hw=slot_hw, slot_map=slot_map,
+                        compute_dtype=compute_dtype, interpret=interpret,
+                        class_canvas_hw=class_canvas_hw,
+                    )
+                else:
+                    s = score_direct(
+                        local_cache, packed, true_channels=true_channels,
+                        layout=layout, compute_dtype=compute_dtype,
+                    )
+                return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
+
+            mapped = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
+                    P(GALLERY_AXIS), P(), P(), P(), P(),
+                ),
+                out_specs=P(),
+                # after the tiled all_gather every device holds identical full
+                # rows; the static vma checker cannot infer that
+                check_vma=False,
+            )
+
+            # cache as jit argument, not closure capture (see
+            # make_sharded_scorer): captured arrays constant-fold through a
+            # device->host pull that hangs over the axon tunnel at real sizes
+            @jax.jit
+            def score_impl(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
+                s = mapped(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map)
+                return s[:, :g_true] if g_true is not None else s
+
+        _packed_scorer_impls[impl_key] = (score_impl, pack_impl)
         while len(_packed_scorer_impls) > _PACKED_SCORER_MEMO_MAX:
             _packed_scorer_impls.popitem(last=False)
 
-    def score(packed: PackedVariants, slot_hw, slot_map):
-        return score_impl(
+    if use_pops:
+        gops = pack_impl(
             sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
-            sharded_cache.valid_hw, packed.kernels, packed.window_hw,
-            slot_hw, slot_map,
+            sharded_cache.valid_hw,
         )
+
+        def score(packed: PackedVariants, slot_hw, slot_map):
+            return score_impl(
+                gops.p0p, gops.int12p, gops.gvalid, packed.kernels,
+                slot_hw, slot_map,
+            )
+
+    else:
+
+        def score(packed: PackedVariants, slot_hw, slot_map):
+            return score_impl(
+                sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
+                sharded_cache.valid_hw, packed.kernels, packed.window_hw,
+                slot_hw, slot_map,
+            )
 
     return score
 

@@ -50,7 +50,11 @@ from ..ops.ncc_direct import (
 from ..ops.pallas.ncc_kernel import (
     auto_gallery_block,
     auto_probe_rows,
+    derive_class_taps,
+    pack_gallery_operands,
+    pack_kernel_operands,
     score_direct_pallas,
+    score_packed_operands,
 )
 from ..parallel.mesh import GALLERY_AXIS, build_mesh
 from ..parallel.sharded import (
@@ -587,6 +591,44 @@ class Pipeline:
             packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
             return score_packed_fn(cache_arg, packed, slot_hw, slot_map)
 
+        # --- hoisted-operand fast path (single-device pallas) --------------
+        # The fused kernel's operand packing splits by what it depends on:
+        # gallery packing (multi-GB: lane packing + integral edge-extension)
+        # depends only on the block's cache, kernel packing (the transposed
+        # variant stack) only on the probe batch — so the block x batch loop
+        # packs each side ONCE and score_pops runs the bare kernel, instead
+        # of score_direct_pallas re-deriving both inside every call.
+        hkk, wkk = kernel_hw
+        c_pad8 = -(-true_c // 8) * 8
+        class_taps = derive_class_taps(
+            class_canvas_hw, hk=hkk, wk=wkk, n_classes=len(class_counts)
+        )
+
+        def pack_kern_fn(kernels):
+            return pack_kernel_operands(
+                kernels, layout=layout, c_pad=c_pad8, compute_dtype=dtype,
+                class_taps=class_taps,
+            )
+
+        def score_pops_fn(gops, kern_inputs, slot_hw, slot_map):
+            scores = score_packed_operands(
+                gops, kern_inputs, slot_hw, slot_map, layout=layout,
+                true_channels=true_c, hk=hkk, wk=wkk, class_taps=class_taps,
+                compute_dtype=dtype, interpret=interpret,
+            )
+            return regroup_max(scores)
+
+        @jax.jit
+        def score_batch_pops(gops, maps, valid, ridx, rok, wvq, whq, shw,
+                             windows, slot_hw, slot_map):
+            packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
+            return score_pops_fn(gops, pack_kern_fn(packed.kernels), slot_hw, slot_map)
+
+        @jax.jit
+        def build_kern_inputs(maps, valid, ridx, rok, wvq, whq, shw, windows):
+            packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
+            return pack_kern_fn(packed.kernels)
+
         fns = SimpleNamespace(
             layout=layout,
             builders={},  # mesh -> sharded probe-parallel stack builder
@@ -595,6 +637,12 @@ class Pipeline:
             regroup_max=jax.jit(regroup_max),
             score_packed=jax.jit(score_packed_fn),
             score_batch=score_batch,
+            pack_gallery=jax.jit(partial(
+                pack_gallery_operands, hk=hkk, wk=wkk
+            )),
+            score_pops=jax.jit(score_pops_fn),
+            score_batch_pops=score_batch_pops,
+            build_kern_inputs=build_kern_inputs,
             # cast covers tpu.cache_dtype="bfloat16" host-at-rest maps: the
             # device cache (demeaned prints + integral images) is always f32
             build_cache=jax.jit(
@@ -905,10 +953,18 @@ class Pipeline:
         block_los = [0] if prewarm else list(range(0, g_total, gb))
 
         slots_by_lo = {lo: slot_args(lo) for lo in score_starts}
+        # single-device pallas runs on hoisted packed operands: the block's
+        # gallery packing and each batch's kernel packing happen once, not
+        # per (block x batch) score call (see _scorer_bundle score_pops)
+        use_pops = use_pallas and mesh is None
         packed_pre: dict[int, object] = {}
         if prebuild:
             for lo in score_starts:
-                packed_pre[lo] = build_fn(*build_args(lo, slots_by_lo[lo][0]))
+                args_lo = build_args(lo, slots_by_lo[lo][0])
+                packed_pre[lo] = (
+                    fns.build_kern_inputs(*args_lo) if use_pops
+                    else build_fn(*args_lo)
+                )
 
         for b_lo in block_los:
             b_hi = min(b_lo + gb, g_total)
@@ -920,13 +976,18 @@ class Pipeline:
                     [blk_valid, np.full((pad, 2), 2 * EDGE_CROP + 8, blk_valid.dtype)]
                 )
             cache = build_cache_j(jnp.asarray(blk), jnp.asarray(blk_valid))
+            gops = None
             if mesh is not None:
                 sharded_cache, g_pad_true = shard_cache(cache, mesh)
                 scorer_m = make_sharded_packed_scorer(
                     mesh, sharded_cache, true_channels=true_c, layout=layout,
                     g_true=g_pad_true, use_pallas=use_pallas, compute_dtype=dtype,
                     interpret=interpret, class_canvas_hw=class_canvas_hw,
+                    kernel_hw=kernel_hw,
                 )
+            elif use_pops:
+                gops = fns.pack_gallery(cache)
+                cache = None  # the kernel reads only the packed operands
 
             for lo in score_starts:
                 wins_d, slot_hw_d, smap_d = slots_by_lo[lo]
@@ -935,6 +996,14 @@ class Pipeline:
                     if packed is None:
                         packed = build_fn(*build_args(lo, wins_d))
                     dev_rows = regroup_max_j(scorer_m(packed, slot_hw_d, smap_d))
+                elif use_pops and prebuild:
+                    dev_rows = fns.score_pops(
+                        gops, packed_pre[lo], slot_hw_d, smap_d
+                    )
+                elif use_pops:
+                    dev_rows = fns.score_batch_pops(
+                        gops, *build_args(lo, wins_d), slot_hw_d, smap_d
+                    )
                 elif prebuild:
                     dev_rows = score_packed_j(
                         cache, packed_pre[lo], slot_hw_d, smap_d
@@ -945,7 +1014,9 @@ class Pipeline:
                     )
                 pending.append((lo, b_lo, b_hi, dev_rows))
                 drain(2)
-            del cache  # retire this block's cache once its scores are enqueued
+            # retire this block's device arrays once its scores are enqueued
+            cache = None
+            gops = None
         drain(0)
         return out[:, inv_order]
 
