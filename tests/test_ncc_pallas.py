@@ -256,3 +256,88 @@ def test_pallas_extreme_window_sizes():
             )
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6, err_msg=f"gt={gt}")
+
+
+def test_hoisted_operands_match_one_shot():
+    """pack_gallery_operands + pack_kernel_operands + score_packed_operands
+    (the engine's hoisted block x batch loop) == score_direct_pallas
+    bit-for-bit, including reuse of one packed-gallery side across two
+    different probe batches and one packed-kernel side across two caches."""
+    import jax
+
+    from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+        PackedVariants,
+        VariantLayout,
+    )
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        pack_gallery_operands,
+        pack_kernel_operands,
+        score_packed_operands,
+    )
+
+    rng = np.random.default_rng(11)
+    c, pb = 4, 2
+    class_counts = (1, 3)
+    layout = VariantLayout(class_counts, pb)
+    kernel_hw = (11, 11)
+
+    caches = []
+    for seed in (0, 1):
+        r = np.random.default_rng(seed)
+        prints = [
+            r.normal(size=(c, int(r.integers(14, 20)), int(r.integers(14, 20)))).astype(np.float32)
+            for _ in range(5)
+        ]
+        gal, gv = _pad_stack(prints, (20, 20))
+        caches.append(build_direct_cache(gal, gv, channel_block=4))
+
+    batches = []
+    for seed in (7, 8):
+        r = np.random.default_rng(seed)
+        kerns, wins = [], []
+        for ci, cnt in enumerate(class_counts):
+            for p in range(pb):
+                h, w = int(r.integers(8, 12)), int(r.integers(8, 12))
+                ms = [r.normal(size=(c, h + 4, w + 4)).astype(np.float32) for _ in range(cnt)]
+                tm, tv = _pad_stack(ms, (15, 15))
+                kerns.append(jnp.stack(
+                    [fold_template(tm[i], tv[i], kernel_hw) for i in range(cnt)]
+                ))
+                wins.append([h, w])
+        batches.append(PackedVariants(
+            jnp.concatenate(kerns), jnp.asarray(wins, jnp.int32)
+        ))
+
+    gops = [
+        pack_gallery_operands(cc, hk=kernel_hw[0], wk=kernel_hw[1])
+        for cc in caches
+    ]
+    kis = [
+        pack_kernel_operands(b.kernels, layout=layout, c_pad=caches[0].p0.shape[0])
+        for b in batches
+    ]
+    for bi, packed in enumerate(batches):
+        slot_map = jnp.arange(layout.n_groups, dtype=jnp.int32)
+        for gi, cc in enumerate(caches):
+            want = np.asarray(score_direct_pallas(
+                cc, packed, true_channels=c, layout=layout, interpret=True
+            ))
+            got = np.asarray(score_packed_operands(
+                gops[gi], kis[bi], packed.window_hw, slot_map,
+                layout=layout, true_channels=c,
+                hk=kernel_hw[0], wk=kernel_hw[1], interpret=True,
+            ))[:, : want.shape[1]]
+            assert np.array_equal(got, want), (bi, gi)
+
+    # geometry guard: operands packed for a different kernel canvas refuse
+    wrong = pack_gallery_operands(caches[0], hk=15, wk=15)
+    try:
+        score_packed_operands(
+            wrong, kis[0], batches[0].window_hw,
+            jnp.arange(layout.n_groups, dtype=jnp.int32),
+            layout=layout, true_channels=c, hk=kernel_hw[0], wk=kernel_hw[1],
+            interpret=True,
+        )
+        raise AssertionError("mismatched canvas geometry was not rejected")
+    except ValueError:
+        pass
