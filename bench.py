@@ -187,7 +187,10 @@ def main() -> None:
         # must coexist with the persistent packed gallery operands; 8-probe
         # chunks bound the build temps near 1 GB at identical build cost
         args7 = (maps, valid, ridx, rok, wvq, whq, shw)
-        ch = 8 if PB % 8 == 0 else PB
+        # largest divisor of PB <= 8 keeps the temp bound for ANY BENCH_PB
+        # (falling back to ch=PB for an indivisible batch would rebuild the
+        # multi-GB full-batch gather temps this chunking exists to avoid)
+        ch = max(d for d in range(1, min(8, PB) + 1) if PB % d == 0)
         if ch != PB:
             chunked = jax.tree.map(
                 lambda x: x.reshape(PB // ch, ch, *x.shape[1:]), args7

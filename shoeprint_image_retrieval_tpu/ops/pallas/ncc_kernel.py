@@ -487,6 +487,32 @@ def device_hbm_bytes() -> int:
     return int(15.75e9)
 
 
+def pack_gallery_gt(wb: int) -> int:
+    """Default prints-per-step lane packing for a post-crop print width."""
+    return max(1, min(4, 128 // max(1, wb)))
+
+
+def packed_gallery_geometry(
+    hb: int, wb: int, hk: int, wk: int, gt: int
+) -> tuple[int, int, int, int, int, int, int]:
+    """(ws, top, bot, he, we, wi, hb_pad) implied by the packed-operand
+    layout. The SINGLE source of truth shared by the packing
+    (:func:`pack_gallery_operands`), the kernel's geometry check
+    (:func:`score_packed_operands`), and the HBM/VMEM sizing models
+    (:func:`gallery_block_bytes_per_print`, :func:`auto_probe_rows`) — an
+    earlier drift between packing and model undercounted ``wi`` by a whole
+    128-lane tile at a packing boundary and let the solved row budget land
+    past the true VMEM edge."""
+    hb_pad = -(-hb // 8) * 8
+    ws = wb + wk - 1                  # packed per-print lane span
+    top = hk // 2 + 1                 # integral top/left extension
+    bot = top + 1 + (hb_pad - hb)     # bottom/right extension
+    he = -(-(hb + 1 + top + bot) // 8) * 8   # extended integral height (8-pad)
+    we = wb + 1 + top + bot                  # extended integral width
+    wi = -(-(gt * we) // 128) * 128          # packed integral lanes (128-pad)
+    return ws, top, bot, he, we, wi, hb_pad
+
+
 def gallery_block_bytes_per_print(
     hb: int, wb: int, hk: int, wk: int, *, c_pad: int, gt: int | None = None,
 ) -> int:
@@ -500,14 +526,8 @@ def gallery_block_bytes_per_print(
     gives ~40 MB/print, matching the observed fit at 256-print blocks +
     2.6 GB resident and OOM at 512 on a 15.75 GB part).
     """
-    gt = gt or max(1, min(4, 128 // max(1, wb)))
-    hb_pad = -(-hb // 8) * 8
-    ws = wb + wk - 1
-    top = hk // 2 + 1
-    bot = top + 1 + (hb_pad - hb)
-    he = -(-(hb + 1 + top + bot) // 8) * 8
-    we = wb + 1 + top + bot
-    wi = -(-(gt * we) // 128) * 128
+    gt = gt or pack_gallery_gt(wb)
+    ws, _top, _bot, he, _we, wi, _hb_pad = packed_gallery_geometry(hb, wb, hk, wk, gt)
     cache_b = c_pad * (hb * wb + 2 * (hb + 1) * (wb + 1)) * 4
     int12_b = c_pad * 2 * he * wi * 4 // gt  # packed operand, per print
     p0p_b = c_pad * hb * gt * ws * 4 // gt
@@ -529,7 +549,7 @@ def auto_gallery_block(
     big for one shot (e.g. full WVU2019 at 176 channels) blocks itself
     instead of OOMing.
     """
-    gt = gt or max(1, min(4, 128 // max(1, wb)))
+    gt = gt or pack_gallery_gt(wb)
     budget = device_hbm_bytes() - resident_bytes - safety_bytes
     per = gallery_block_bytes_per_print(hb, wb, hk, wk, c_pad=c_pad, gt=gt)
     return max(gt, (int(budget // per) // gt) * gt)
@@ -545,22 +565,13 @@ def auto_probe_rows(
     scratch(N) + blocks(N) + headroom. Replaces round 2's measured-on-v5e
     constants (68e6-byte scratch target / 1400-row budget) so a different
     TPU generation re-derives its own edge instead of OOM-bisecting."""
-    hb_pad = -(-hb // 8) * 8
-    gt = max(1, min(4, 128 // max(1, wb)))
+    gt = pack_gallery_gt(wb)
     lanes = gt * wb
     lanes_e = -(-lanes // 128) * 128  # slots/einv DMA-aligned lane width
-    ws = wb + wk - 1
-    # integral-image block extents: EXACTLY score_direct_pallas's packing —
-    # integral images are (hb+1, wb+1), extended by `top` (top/left) and
-    # `bot` (bottom/right), heights then 8-aligned. An earlier version
-    # dropped the integral's +1 and the (hb_pad-hb) share of `bot` from
-    # `we`, which can undercount `wi` by a whole 128-lane tile right at a
-    # packing boundary and let the solved N land past the true VMEM edge.
-    top = hk // 2 + 1
-    bot = top + 1 + (hb_pad - hb)
-    he = -(-(hb + 1 + top + bot) // 8) * 8
-    we = wb + 1 + top + bot
-    wi = -(-(gt * we) // 128) * 128
+    # integral-image block extents: EXACTLY the packing's, via the shared
+    # geometry helper (see packed_gallery_geometry's docstring for the
+    # drift this prevents)
+    ws, _top, _bot, he, _we, wi, hb_pad = packed_gallery_geometry(hb, wb, hk, wk, gt)
     # linear model: per-row cost (acc + einv amortized + kern blocks + out +
     # Mosaic stack growth, calibrated via mosaic_headroom_bytes)
     a = (
@@ -599,11 +610,6 @@ class PackedGalleryOperands(_NamedTuple):
     gvalid: jnp.ndarray  # (G_pad, 2) int32 per-print valid sizes
 
 
-def pack_gallery_gt(wb: int) -> int:
-    """Default prints-per-step lane packing for a post-crop print width."""
-    return max(1, min(4, 128 // max(1, wb)))
-
-
 def pack_gallery_operands(
     cache: DirectGalleryCache,
     *,
@@ -622,28 +628,24 @@ def pack_gallery_operands(
     c_pad, g, hb, wb = cache.p0.shape
     gt = prints_per_step or pack_gallery_gt(wb)
     g_pad = -(-g // gt) * gt
-    hb_pad = -(-hb // 8) * 8
+    ws, top, bot, he, we, wi, _hb_pad = packed_gallery_geometry(hb, wb, hk, wk, gt)
 
     def pad_g(a):
         return jnp.pad(a, ((0, 0), (0, g_pad - g), (0, 0), (0, 0)))
 
     # packed prints: per-print span ws with the content at lane offset wk//2
-    ws = wb + wk - 1
     p0p = jnp.pad(pad_g(cache.p0), ((0, 0), (0, 0), (0, 0), (wk // 2, ws - wb - wk // 2)))
     p0p = _pack_lanes(p0p, gt)  # (C, G/gt, hb, gt*ws)
 
     # packed, edge-extended integral images; total width 128-aligned for the
     # dynamic lane-rolls (padding is never read: hi_w + wb <= we)
-    top = hk // 2 + 1
-    bot = top + 1 + (hb_pad - hb)
     int1e = _extend_integral(pad_g(cache.int1), top, bot)
     int2e = _extend_integral(pad_g(cache.int2), top, bot)
     # height 8-aligned for the dynamic sublane rolls (padding is never read)
-    he_pad = -(-int1e.shape[-2] // 8) * 8 - int1e.shape[-2]
+    he_pad = he - int1e.shape[-2]
     int1e = jnp.pad(int1e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
     int2e = jnp.pad(int2e, ((0, 0), (0, 0), (0, he_pad), (0, 0)), mode="edge")
-    we = int1e.shape[-1]
-    wi = -(-(gt * we) // 128) * 128
+    assert int1e.shape[-1] == we and int1e.shape[-2] == he
     int12p = jnp.concatenate([_pack_lanes(int1e, gt), _pack_lanes(int2e, gt)], axis=2)
     int12p = jnp.pad(int12p, ((0, 0), (0, 0), (0, 0), (0, wi - gt * we)))
 
@@ -832,18 +834,26 @@ def score_packed_operands(
     n_total = layout.n_variants
     n_pad = -(-n_total // 8) * 8
 
-    # geometry implied by the packing (see pack_gallery_operands)
-    top = hk // 2 + 1
-    bot = top + 1 + (hb_pad - hb)
-    we = wb + 1 + top + bot
-    he = -(-(hb + 1 + top + bot) // 8) * 8
-    wi = -(-(gt * we) // 128) * 128
+    # geometry implied by the packing (shared helper — see its docstring)
+    _ws, top, _bot, he, we, wi, _hb8 = packed_gallery_geometry(hb, wb, hk, wk, gt)
     if gops.int12p.shape[-2:] != (2 * he, wi):
         raise ValueError(
             f"gallery operands shaped {gops.int12p.shape[-2:]} do not match "
             f"the (hk={hk}, wk={wk}) canvas geometry (2*he={2*he}, wi={wi}) "
             "— were they packed for a different kernel canvas?"
         )
+    for i, kf in enumerate(kern_inputs):
+        if kf.shape[0] != c_pad:
+            # the two operand sides are packed independently; a channel-pad
+            # mismatch would otherwise have the (n_gg, c_pad) grid index the
+            # kern BlockSpec past its extent for cc >= kf.shape[0] — Pallas
+            # CLAMPS out-of-range block indices, silently reusing the last
+            # kern block for the tail channels instead of raising
+            raise ValueError(
+                f"kern_inputs[{i}] has channel dim {kf.shape[0]} but the "
+                f"gallery operands are packed with c_pad={c_pad} — pack "
+                "both sides with the same channel pad"
+            )
 
     slot_hw = slot_hw.astype(jnp.int32)   # (n_slots, 2)
     slot_map = slot_map.astype(jnp.int32)  # (n_groups,)

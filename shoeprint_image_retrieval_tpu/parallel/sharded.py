@@ -52,6 +52,30 @@ def shard_cache(cache, mesh):
     return type(cache)(**fields), g_true
 
 
+def _wrap_shard_scorer(local, mesh, in_specs, g_true: int | None):
+    """Shared scaffold for the per-shard scoring paths: shard_map the local
+    scorer (whose last op is the tiled all_gather of score rows), jit it
+    with the cache/operands as ARGUMENTS (closure-captured arrays
+    constant-fold through a device->host pull that hangs over the axon
+    tunnel at real sizes), and slice the gallery pad columns."""
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(),
+        # after the tiled all_gather every device holds identical full
+        # rows; the static vma checker cannot infer that
+        check_vma=False,
+    )
+
+    @jax.jit
+    def score_impl(*args):
+        s = mapped(*args)
+        return s[:, :g_true] if g_true is not None else s
+
+    return score_impl
+
+
 def make_sharded_scorer(mesh, sharded_cache: GalleryCache, *, true_channels: int,
                         channel_block: int = 16, g_true: int | None = None):
     """Jitted (templates, tvalid) -> (V, G) scorer over the mesh."""
@@ -64,27 +88,14 @@ def make_sharded_scorer(mesh, sharded_cache: GalleryCache, *, true_channels: int
         )
         return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
 
-    mapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
+    score_impl = _wrap_shard_scorer(
+        local, mesh,
+        (
             P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
             P(GALLERY_AXIS), P(), P(),
         ),
-        out_specs=P(),
-        # after the tiled all_gather every device holds identical full rows;
-        # the static vma checker cannot infer that, so it is disabled here
-        check_vma=False,
+        g_true,
     )
-
-    # the cache is a jit *argument*, never a closure capture: captured
-    # arrays trace as constants, and constant-folding pulls them
-    # device->host — a transfer that hangs over the axon TPU tunnel at
-    # real cache sizes (same rule as engine._score_cluster)
-    @jax.jit
-    def score_impl(phat, int1, int2, gvalid, templates, tvalid):
-        s = mapped(phat, int1, int2, gvalid, templates, tvalid)
-        return s[:, :g_true] if g_true is not None else s
 
     def score(templates, tvalid):
         return score_impl(
@@ -248,23 +259,14 @@ def make_sharded_packed_scorer(
                 )[:, :g_local]
                 return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
 
-            mapped = jax.shard_map(
-                local,
-                mesh=mesh,
-                in_specs=(
+            score_impl = _wrap_shard_scorer(
+                local, mesh,
+                (
                     P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
                     P(GALLERY_AXIS), P(), P(), P(),
                 ),
-                out_specs=P(),
-                # after the tiled all_gather every device holds identical
-                # full rows; the static vma checker cannot infer that
-                check_vma=False,
+                g_true,
             )
-
-            @jax.jit
-            def score_impl(p0p, int12p, gvalid, kernels, slot_hw, slot_map):
-                s = mapped(p0p, int12p, gvalid, kernels, slot_hw, slot_map)
-                return s[:, :g_true] if g_true is not None else s
 
         else:
 
@@ -285,26 +287,14 @@ def make_sharded_packed_scorer(
                     )
                 return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
 
-            mapped = jax.shard_map(
-                local,
-                mesh=mesh,
-                in_specs=(
+            score_impl = _wrap_shard_scorer(
+                local, mesh,
+                (
                     P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
                     P(GALLERY_AXIS), P(), P(), P(), P(),
                 ),
-                out_specs=P(),
-                # after the tiled all_gather every device holds identical full
-                # rows; the static vma checker cannot infer that
-                check_vma=False,
+                g_true,
             )
-
-            # cache as jit argument, not closure capture (see
-            # make_sharded_scorer): captured arrays constant-fold through a
-            # device->host pull that hangs over the axon tunnel at real sizes
-            @jax.jit
-            def score_impl(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
-                s = mapped(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map)
-                return s[:, :g_true] if g_true is not None else s
 
         _packed_scorer_impls[impl_key] = (score_impl, pack_impl)
         while len(_packed_scorer_impls) > _PACKED_SCORER_MEMO_MAX:
@@ -350,22 +340,14 @@ def make_sharded_direct_scorer(mesh, sharded_cache, *, true_channels: int,
         s = score_direct(local_cache, groups, true_channels=true_channels)
         return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
 
-    mapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
+    score_impl = _wrap_shard_scorer(
+        local, mesh,
+        (
             P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
             P(GALLERY_AXIS), P(),
         ),
-        out_specs=P(),
-        check_vma=False,
+        g_true,
     )
-
-    # cache as jit argument, not closure capture (see make_sharded_scorer)
-    @jax.jit
-    def score_impl(p0, int1, int2, gvalid, groups):
-        s = mapped(p0, int1, int2, gvalid, groups)
-        return s[:, :g_true] if g_true is not None else s
 
     def score(groups):
         return score_impl(

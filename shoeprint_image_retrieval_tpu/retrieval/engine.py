@@ -901,7 +901,18 @@ class Pipeline:
         # N x C x hk x wk f32 — capped, falling back to fused build+score
         # when the stacks would crowd HBM
         n_pad_rows = -(-layout.n_variants // 8) * 8
-        stack_bytes = n_pad_rows * true_c * kernel_hw[0] * kernel_hw[1] * 4
+        # what a prebuilt stack ACTUALLY holds: the hoisted single-device
+        # pallas path stores packed kern_inputs (c_pad8, n_pad, wk*hk) in
+        # the compute dtype; the other backends store the folded
+        # PackedVariants stack (n_pad, true_c, hk, wk) f32
+        if use_pallas and mesh is None:
+            c_pad8 = -(-true_c // 8) * 8
+            stack_bytes = (
+                c_pad8 * n_pad_rows * kernel_hw[0] * kernel_hw[1]
+                * jnp.dtype(dtype).itemsize
+            )
+        else:
+            stack_bytes = n_pad_rows * true_c * kernel_hw[0] * kernel_hw[1] * 4
         prebuild = n_blocks > 1 and len(starts) * stack_bytes < 6e9
 
         # compile signature for this cluster's scoring: tpu.prewarm runs
