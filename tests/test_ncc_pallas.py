@@ -341,3 +341,64 @@ def test_hoisted_operands_match_one_shot():
         raise AssertionError("mismatched canvas geometry was not rejected")
     except ValueError:
         pass
+
+
+def test_packed_geometry_helper_matches_packing_and_guards():
+    """packed_gallery_geometry (the single source of truth the HBM/VMEM
+    sizing models rely on) must agree with pack_gallery_operands' ACTUAL
+    output shapes across canvas/print-size combinations, and
+    score_packed_operands must reject a kern_inputs/gallery channel-pad
+    mismatch (Pallas clamps out-of-range block indices, so an unguarded
+    mismatch silently reuses the last kern block)."""
+    from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+        PackedVariants,
+        VariantLayout,
+    )
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        pack_gallery_gt,
+        pack_gallery_operands,
+        pack_kernel_operands,
+        packed_gallery_geometry,
+        score_packed_operands,
+    )
+
+    rng = np.random.default_rng(23)
+    for canvas, khw in [((18, 15), (9, 9)), ((22, 22), (13, 11)), ((16, 20), (8, 12))]:
+        c = 4
+        prints = [
+            rng.normal(size=(c, int(rng.integers(12, canvas[0] + 1)),
+                             int(rng.integers(12, canvas[1] + 1)))).astype(np.float32)
+            for _ in range(3)
+        ]
+        gal, gv = _pad_stack(prints, canvas)
+        cache = build_direct_cache(gal, gv, channel_block=4)
+        gops = pack_gallery_operands(cache, hk=khw[0], wk=khw[1])
+        hb, wb = cache.p0.shape[-2:]
+        gt = pack_gallery_gt(wb)
+        ws, _top, _bot, he, _we, wi, _hbp = packed_gallery_geometry(
+            hb, wb, khw[0], khw[1], gt
+        )
+        assert gops.p0p.shape[-2:] == (hb, gt * ws), (canvas, khw)
+        assert gops.int12p.shape[-2:] == (2 * he, wi), (canvas, khw)
+
+    # channel-pad mismatch guard
+    layout = VariantLayout((1,), 2)
+    kernel_hw = (9, 9)
+    tm, tv = _pad_stack(
+        [rng.normal(size=(4, 12, 12)).astype(np.float32) for _ in range(2)], (13, 13)
+    )
+    packed = PackedVariants(
+        jnp.stack([fold_template(tm[i], tv[i], kernel_hw) for i in range(2)]),
+        (tv - 4).astype(jnp.int32),
+    )
+    gops = pack_gallery_operands(cache, hk=kernel_hw[0], wk=kernel_hw[1])
+    ki = pack_kernel_operands(packed.kernels, layout=layout, c_pad=8)  # wrong pad
+    try:
+        score_packed_operands(
+            gops, ki, packed.window_hw,
+            jnp.arange(1, dtype=jnp.int32), layout=layout, true_channels=4,
+            hk=kernel_hw[0], wk=kernel_hw[1], interpret=True,
+        )
+        raise AssertionError("channel-pad mismatch was not rejected")
+    except ValueError as e:
+        assert "channel" in str(e)
