@@ -402,3 +402,73 @@ def test_packed_geometry_helper_matches_packing_and_guards():
         raise AssertionError("channel-pad mismatch was not rejected")
     except ValueError as e:
         assert "channel" in str(e)
+
+
+def test_pallas_fuzz_random_geometries():
+    """Seeded fuzz over the kernel's geometry space: random print/canvas/
+    kernel-canvas sizes, class layouts, gallery counts (including G not a
+    multiple of gt and G < gt), and prints_per_step — pallas interpret must
+    match the XLA direct path at every draw. Catches packing-boundary bugs
+    (128-lane wi cliffs, 8-row pads, odd kernel canvases) that hand-picked
+    shapes miss."""
+    from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+        PackedVariants,
+        VariantLayout,
+    )
+
+    rng = np.random.default_rng(1234)
+    for trial in range(8):
+        c = int(rng.integers(2, 5))
+        g = int(rng.integers(1, 7))
+        canvas = (int(rng.integers(10, 24)), int(rng.integers(10, 24)))
+        prints = [
+            rng.normal(size=(
+                c,
+                int(rng.integers(8, canvas[0] + 1)),
+                int(rng.integers(8, canvas[1] + 1)),
+            )).astype(np.float32)
+            for _ in range(g)
+        ]
+        gal, gv = _pad_stack(prints, canvas)
+        cache = build_direct_cache(gal, gv, channel_block=c)
+
+        kh = int(rng.integers(6, 14))
+        kw = int(rng.integers(6, 14))
+        kernel_hw = (kh, kw)
+        pb = int(rng.integers(1, 3))
+        n_classes = int(rng.integers(1, 3))
+        class_counts = tuple(int(rng.integers(1, 3)) for _ in range(n_classes))
+        layout = VariantLayout(class_counts, pb)
+
+        kerns, wins = [], []
+        tc = (kh + 4, kw + 4)
+        for cnt in class_counts:
+            for _ in range(pb):
+                h = int(rng.integers(2, kh + 1))
+                w = int(rng.integers(2, kw + 1))
+                ms = [
+                    rng.normal(size=(c, h + 4, w + 4)).astype(np.float32)
+                    for _ in range(cnt)
+                ]
+                tm, tv = _pad_stack(ms, tc)
+                kerns.append(jnp.stack(
+                    [fold_template(tm[i], tv[i], kernel_hw) for i in range(cnt)]
+                ))
+                wins.append([h, w])
+        packed = PackedVariants(
+            jnp.concatenate(kerns), jnp.asarray(wins, jnp.int32)
+        )
+
+        want = np.asarray(score_direct(
+            cache, packed, true_channels=c, layout=layout
+        ))
+        gt = int(rng.integers(1, 5))
+        got = np.asarray(score_direct_pallas(
+            cache, packed, true_channels=c, layout=layout,
+            prints_per_step=gt, interpret=True,
+        ))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-5,
+            err_msg=f"trial={trial} c={c} g={g} canvas={canvas} "
+                    f"kernel={kernel_hw} counts={class_counts} pb={pb} gt={gt}",
+        )
