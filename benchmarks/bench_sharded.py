@@ -198,6 +198,10 @@ def main() -> None:
     dt_base = (time.perf_counter() - t0) / reps
     print(f"unsharded: {dt_base*1e3:.1f} ms/batch -> {pb/dt_base:.2f} probes/s",
           flush=True)
+    # free the unsharded side's hoisted operands (~7.6 GB at PB=56/G=300)
+    # before the sharded scorer packs its own copy — both resident at once
+    # OOM the part's 15.75 GB HBM; the measurements are sequential anyway
+    del f_direct, args_direct, r
 
     shard_counts = [1, 2, 4, 8] if SCALING else [1]
     for n in shard_counts:
