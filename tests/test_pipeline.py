@@ -382,3 +382,37 @@ def test_profile_trace_capture(dataset, tmp_path):
     cfg_path.write_text(text)
     list(Pipeline(load_config(cfg_path), weights_dir=None, verbose=False).run())
     assert any(prof.rglob("*.trace*")) or any(prof.rglob("*.pb")) or any(prof.iterdir())
+
+
+def test_quick_start_dataset_guard(tmp_path, monkeypatch, capsys):
+    """run.py first-run UX: a missing SyntheticImpress dir auto-generates
+    the fixture; any OTHER missing dataset dir exits with a clear message
+    instead of a deep traceback (the reference crashes on os.listdir,
+    reference run.py:11 + dataloader.py:39-43)."""
+    import runpy
+    import sys
+
+    import pytest as _pytest
+
+    run_py = str((__import__("pathlib").Path(__file__).parents[1] / "run.py"))
+
+    # (a) non-synthetic missing dir -> SystemExit with guidance
+    cfg = tmp_path / "missing.toml"
+    cfg.write_text(RUN_TOML.format(dir=str(tmp_path / "NoSuchDataset")))
+    monkeypatch.setattr(sys, "argv", ["run.py", str(cfg)])
+    with _pytest.raises(SystemExit, match="does not exist"):
+        runpy.run_path(run_py, run_name="__main__")
+
+    # (b) missing SyntheticImpress dir -> generator invoked on demand
+    import scripts.make_synthetic_impress as gen_mod
+
+    calls = []
+    monkeypatch.setattr(gen_mod, "generate", lambda d, **kw: calls.append(d))
+    import importlib
+
+    run_mod = importlib.import_module("run") if "run" not in sys.modules else sys.modules["run"]
+    run_mod = importlib.reload(run_mod)
+    target = tmp_path / "datasets" / "SyntheticImpress" / "Dataset"
+    cfg2 = {"dataset": {"dir": str(target)}}
+    run_mod._ensure_dataset(cfg2)
+    assert calls and str(calls[0]) == str(target)
