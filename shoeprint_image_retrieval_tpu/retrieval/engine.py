@@ -120,6 +120,12 @@ class Pipeline:
         # run that arrives early just blocks on the same compile it would
         # otherwise have to run itself.
         self._score_gate = threading.Lock()
+        # set when the pipeline is done with real work: prewarm threads
+        # short-circuit at their next checkpoint and close() joins them —
+        # a daemon thread still inside an XLA/plugin call while CPython
+        # tears down segfaults at interpreter exit (observed with the axon
+        # TPU client), turning a fully successful run into exit code 139
+        self._shutdown = threading.Event()
         self.gallery_cache = GalleryFeatureCache(config["tpu"]["cache_dir"] or None)
 
         planner_cfg = PlannerConfig(
@@ -672,6 +678,10 @@ class Pipeline:
         method runs from both the main thread and prewarm threads.
         """
         with self._score_gate:
+            if prewarm and self._shutdown.is_set():
+                # the pipeline finished while this prewarm waited on the
+                # gate — its dummy pass can no longer help anyone
+                return np.zeros((len(q_maps), len(g_valid)), np.float32)
             return self._score_cluster_gated(
                 q_maps, q_valid, g_maps, g_valid, prewarm
             )
@@ -1162,6 +1172,8 @@ class Pipeline:
         bs = max(1, self.config["tpu"]["extraction_batch"])
 
         def warm_step(canvas, rgb):
+            if self._shutdown.is_set():
+                return
             shape = (bs, *canvas, 3) if rgb else (bs, *canvas)
             jax.block_until_ready(step(
                 params, jnp.asarray(np.zeros(shape, np.uint8)),
@@ -1210,6 +1222,8 @@ class Pipeline:
             _, hfg, wfg = feat_chw(canvas_g)
             g_valid_f = np.array([feat_chw(o)[1:] for o in g_out], np.int32)
             g_shape = (len(g_out), c, hfg, wfg)
+        if self._shutdown.is_set():
+            return
         qz = np.zeros((len(q_files), c, hfq, wfq), np.float32)
         gz = np.broadcast_to(np.zeros((), np.float32), g_shape)
         self._score_cluster(qz, q_valid_f, gz, g_valid_f, prewarm=True)
@@ -1221,7 +1235,7 @@ class Pipeline:
             self.config["tpu"].get("prewarm", True)
             and self._mesh_size() == 1
             and self._resolve_backend() != "fft"
-        ):
+        ) or self._shutdown.is_set():
             return
         if id(plan) in getattr(self, "_plans_spawned", set()):
             return  # already warmed as a next_plan lookahead
@@ -1311,10 +1325,30 @@ class Pipeline:
                       f"true match ranked {rank}")
         return ClusterOutput(ranks, pairs, len(q_files), plan.block, plan.scale)
 
+    def close(self) -> None:
+        """Retire outstanding prewarm threads.
+
+        A daemon thread still inside an XLA/plugin device call while the
+        interpreter tears down segfaults at exit (observed with the axon
+        TPU client: a fully successful ``run.py`` ended with exit 139).
+        Setting ``_shutdown`` makes each prewarm short-circuit at its next
+        checkpoint (before a warm step / on gate acquisition), so the join
+        returns promptly — any compile a prewarm shares with real work has
+        already finished by the time the real run is done.
+        """
+        self._shutdown.set()
+        for t in self._prewarm_threads:
+            t.join()
+        self._prewarm_threads.clear()
+        self._shutdown.clear()
+
     def run(self):
-        for i, plan in enumerate(self.plans):
-            if self.verbose:
-                print(f"Cluster has {len(plan.files)} items.")
-            nxt = self.plans[i + 1] if i + 1 < len(self.plans) else None
-            with profile_trace(self.config["tpu"].get("profile_dir") or None):
-                yield self.run_cluster(plan, next_plan=nxt)
+        try:
+            for i, plan in enumerate(self.plans):
+                if self.verbose:
+                    print(f"Cluster has {len(plan.files)} items.")
+                nxt = self.plans[i + 1] if i + 1 < len(self.plans) else None
+                with profile_trace(self.config["tpu"].get("profile_dir") or None):
+                    yield self.run_cluster(plan, next_plan=nxt)
+        finally:
+            self.close()
