@@ -51,6 +51,7 @@ def main() -> None:
         fold_template,
     )
     from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        build_epilogue_grid,
         pack_gallery_operands,
         pack_kernel_operands,
         score_packed_operands,
@@ -155,8 +156,18 @@ def main() -> None:
         uniq, inv = np.unique(wins, axis=0, return_inverse=True)
         batch_slots[lo] = (wins, uniq, inv.astype(np.int32))
         n_slots = max(n_slots, len(uniq))
+    # cross-product ("grid") energy epilogue: one wide band-dot per distinct
+    # window HEIGHT instead of one narrow dot per (h, w) slot (see
+    # ncc_kernel.build_epilogue_grid). Grid pads are batch-invariant so every
+    # probe batch reuses one compiled kernel. BENCH_EPI=slot for A/B.
+    use_epi = os.environ.get("BENCH_EPI", "grid") == "grid"
+    n_h_pad = n_w_pad = 0
+    for _, uniq, _ in batch_slots.values():
+        n_h_pad = max(n_h_pad, len(np.unique(uniq[:, 0])))
+        n_w_pad = max(n_w_pad, len(np.unique(uniq[:, 1])))
     log(f"PB={PB} n_var={n_var} N={PB * n_var} energy slots <= {n_slots} "
-        f"(vs {PB * (1 + n_scl)} groups)")
+        f"(vs {PB * (1 + n_scl)} groups); epilogue "
+        + (f"grid {n_h_pad}x{n_w_pad}" if use_epi else "per-slot"))
 
     # NOTE: the cache must be a jit *argument*, not a closure capture — jit
     # constant-folds closures by pulling them to host, and large device->host
@@ -169,7 +180,7 @@ def main() -> None:
     c_pad8 = -(-C // 8) * 8
 
     def score_batch(gops, maps, valid, ridx, rok, wvq, whq, shw,
-                    windows, slot_hw, slot_map):
+                    windows, slot_hw, slot_map, epi=None):
         def one(maps_p, valid_p, ridx_p, rok_p, wv_p, wh_p, shw_p):
             flat = maps_p.reshape(C, hc * wc)
             rot = jnp.take(flat, ridx_p, axis=1)
@@ -213,7 +224,7 @@ def main() -> None:
         scores = score_packed_operands(
             gops, kern_inputs, slot_hw, slot_map, layout=layout,
             true_channels=C, hk=kernel_hw[0], wk=kernel_hw[1],
-            compute_dtype=dtype,
+            compute_dtype=dtype, epi=epi,
         )[:, :G]
         parts, off = [], 0
         for cnt in class_counts:
@@ -228,7 +239,14 @@ def main() -> None:
         wins, uniq, smap = batch_slots[lo]
         slot_hw = np.full((n_slots, 2), 8, np.int32)
         slot_hw[: len(uniq)] = uniq
-        return (*cols, jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap))
+        epi = None
+        if use_epi:
+            eh, ew, ec = build_epilogue_grid(
+                slot_hw, n_h_pad=n_h_pad, n_w_pad=n_w_pad, n_live=len(uniq)
+            )
+            epi = (jnp.asarray(eh), jnp.asarray(ew), jnp.asarray(ec))
+        return (*cols, jnp.asarray(wins), jnp.asarray(slot_hw),
+                jnp.asarray(smap), epi)
 
     batches = [stack_args(lo) for lo in starts]
     # Engine-structure scoring (the production single-block path): gallery

@@ -124,6 +124,22 @@ def main() -> None:
     slot_hw = jnp.asarray(uniq.astype(np.int32))
     slot_map = jnp.asarray(inv.astype(np.int32))
 
+    # EPI=grid (default): cross-product epilogue — one wide band-dot per
+    # distinct window HEIGHT; EPI=slot: the per-(h, w) loop, for A/B.
+    epi = None
+    if os.environ.get("EPI", "grid") == "grid":
+        from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+            build_epilogue_grid,
+        )
+
+        epi = build_epilogue_grid(uniq)
+        print(
+            f"epilogue: grid {len(epi[0])}x{len(epi[1])} cells over "
+            f"{len(uniq)} slots", flush=True,
+        )
+    else:
+        print(f"epilogue: per-slot ({len(uniq)} slots)", flush=True)
+
     # per-class tap canvases: each class's dots contract only over its own
     # maximum window (centered sub-rectangle; excluded taps are exact
     # zeros). Default OFF: measured 16.30 -> 10.29 probes/s on v5e at the
@@ -190,7 +206,7 @@ def main() -> None:
             lambda g, k, sh, sm, _dt=dt_: score_packed_operands(
                 g, k, sh, sm, true_channels=C, layout=layout,
                 hk=kernel_hw[0], wk=kernel_hw[1], class_taps=class_taps,
-                compute_dtype=_dt,
+                compute_dtype=_dt, epi=epi,
             )
         )
         t0 = time.perf_counter()
@@ -218,6 +234,7 @@ def main() -> None:
                 lambda c, p, sh, sm: score_direct_pallas(
                     c, p, true_channels=C, layout=layout,
                     slot_hw=sh, slot_map=sm, class_canvas_hw=class_canvas,
+                    epi=epi,
                 )
             )(cache, packed, slot_hw, slot_map)
         )

@@ -130,26 +130,50 @@ def _kernel_body(
     top: int,
     true_channels: int,
     compute_dtype,
-    # refs (in order): 3 SMEM inputs, 2 packed-operand inputs, one kern
-    # input PER CLASS, the output, then the 5 scratch refs
+    grid_epi: tuple[int, int] | None,  # (n_h_pad, n_w_pad) cross-product epilogue
+    # refs (in order): 3-4 SMEM inputs, packed-operand inputs, one kern
+    # input PER CLASS, the output, then the scratch refs (see unpack below)
     *refs,
 ):
     n_kern = 1 if class_taps is None else len(class_counts)
-    (slot_hw_ref,  # SMEM (n_slots, 2) int32 distinct window sizes
-     smap_ref,     # SMEM (n_groups,) int32 group -> slot index
-     gvalid_ref,   # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
-     p0_ref,       # VMEM (1, 1, hb, gt*ws) packed prints
-     int12_ref,    # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
-     lidx_ref,     # VMEM (1, 1, lanes_e) int32 box-sum source column per lane
-     ) = refs[:6]
-    kern_refs = refs[6 : 6 + n_kern]  # VMEM (1, n_cls_pad, hk_c*wk_c) each
-    (out_ref,      # VMEM (G_pad, n_pad) — full scores block
-     acc_ref,      # scratch VMEM (n_pad, hb, gt*wb)
-     rolls_ref,    # scratch VMEM (wk, hp, gt*wb) compacted
-     einv_ref,     # scratch VMEM (n_groups, hb_pad, gt*wb) per-group 1/sqrt(E)
-     slots_ref,    # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
-     rowdiff_ref,  # scratch VMEM (2*hb_pad, Wi) row box-sum pass, shared per h
-     ) = refs[6 + n_kern :]
+    if grid_epi is None:
+        (slot_hw_ref,  # SMEM (n_slots, 2) int32 distinct window sizes
+         smap_ref,     # SMEM (n_groups,) int32 group -> slot index
+         gvalid_ref,   # SMEM (G_pad, 2) int32 per-print valid sizes (full array)
+         p0_ref,       # VMEM (1, 1, hb, gt*ws) packed prints
+         int12_ref,    # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
+         lidx_ref,     # VMEM (1, 1, lanes_e) int32 box-sum source column per lane
+         ) = refs[:6]
+        kern_refs = refs[6 : 6 + n_kern]  # VMEM (1, n_cls_pad, hk_c*wk_c) each
+        (out_ref,      # VMEM (G_pad, n_pad) — full scores block
+         acc_ref,      # scratch VMEM (n_pad, hb, gt*wb)
+         rolls_ref,    # scratch VMEM (wk, hp, gt*wb) compacted
+         einv_ref,     # scratch VMEM (n_groups, hb_pad, gt*wb) per-group 1/sqrt(E)
+         slots_ref,    # scratch VMEM (n_slots, hb_pad, gt*wb) per-slot 1/sqrt(energy)
+         rowdiff_ref,  # scratch VMEM (2*hb_pad, Wi) row box-sum pass, shared per h
+         ) = refs[6 + n_kern :]
+    else:
+        # hts/cell are (n, 1) 2-D with the TRACED index on the LEADING axis:
+        # any other dynamic SMEM read form traces to a gather, which Mosaic
+        # cannot lower (the slot path's reads are all slot_hw_ref[si, 0])
+        (hts_ref,      # SMEM (n_h_pad, 1) int32 distinct window heights
+         cell_ref,     # SMEM (n_h_pad*n_w_pad, 1) int32 grid cell -> slot row
+         smap_ref,     # SMEM (n_groups,) int32 group -> slot index
+         gvalid_ref,   # SMEM (G_pad, 2) int32 per-print valid sizes
+         p0_ref,       # VMEM (1, 1, hb, gt*ws) packed prints
+         int12_ref,    # VMEM (1, 1, 2*he, Wi): int1 over int2, packed + extended
+         hi_idx_ref,   # VMEM (1, 1, Wn) int32 band hi column per output lane
+         lo_idx_ref,   # VMEM (1, 1, Wn) int32 band lo column per output lane
+         wvec_ref,     # VMEM (1, 1, Wn) f32 window width per output lane
+         ) = refs[:9]
+        kern_refs = refs[9 : 9 + n_kern]
+        (out_ref,
+         acc_ref,
+         rolls_ref,
+         einv_ref,
+         slots_ref,    # scratch VMEM (n_slots+1, hb_pad, lanes_e); last row = trash
+         band_ref,     # scratch VMEM (Wi, Wn) f32 +-1 band matrix, built once
+         ) = refs[9 + n_kern :]
     gg = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
@@ -197,6 +221,66 @@ def _kernel_body(
     # on hardware), so the expansion copies the padded rows and the dot loop
     # slices the loaded VALUE back down to the live gt*wb lanes.
     lanes_e = einv_ref.shape[-1]
+
+    # --- cross-product ("grid") energy epilogue ------------------------------
+    # The per-slot loop below pays its fixed costs (band build, a narrow
+    # N=lanes_e MXU dot, loop scalar overhead) once per DISTINCT (h, w)
+    # window size — ~87 iterations at WVU batch scale. But the row pass
+    # depends only on h and the band only on w, so the whole slot set
+    # factors into a (distinct heights) x (distinct widths) grid: ONE wide
+    # band matrix covering every distinct width side by side (block j =
+    # width j's +-1 columns), built once per kernel call into scratch, and
+    # one (2*hb_pad, Wi) @ (Wi, n_w*lanes_e) dot per distinct HEIGHT
+    # (~12 iterations) produces every (h, *) energy map in a single MXU
+    # pass. A host-built cell->slot table routes each grid cell's map to
+    # its slot row (cells with no live slot go to the trash row), so the
+    # einv expansion and the dot loop are unchanged. Per-lane math is
+    # bit-identical to the per-slot path: same +-1 band columns, same
+    # two-term dot, and n_win = h*w is exact in f32 for window-sized ints.
+    if grid_epi is not None:
+        n_h_pad, n_w_pad = grid_epi
+        wn = band_ref.shape[-1]
+
+        @pl.when((gg == 0) & (c == 0))
+        def _build_band():
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (wi, wn), 0)
+            band_ref[:] = (rows_i == hi_idx_ref[0]).astype(jnp.float32) - (
+                rows_i == lo_idx_ref[0]
+            ).astype(jnp.float32)
+
+        def height_energy(hi, _):
+            h = hts_ref[hi, 0]
+            lo_h = top - h // 2
+            hi_h = top + (h - 1) // 2 + 1
+            full = int12_ref[0, 0]  # (2he, wi)
+            hi_rows = pltpu.roll(full, he2 - hi_h, axis=0)
+            lo_rows = pltpu.roll(full, he2 - lo_h, axis=0)
+            rowdiff = jnp.concatenate(
+                [
+                    hi_rows[:hb_pad] - lo_rows[:hb_pad],    # int1 rows
+                    hi_rows[he : he + hb_pad] - lo_rows[he : he + hb_pad],
+                ],
+                axis=0,
+            )  # (2*hb_pad, wi)
+            compact = jnp.dot(
+                rowdiff, band_ref[:], preferred_element_type=jnp.float32
+            )  # (2*hb_pad, wn)
+            b1 = compact[:hb_pad]
+            b2 = compact[hb_pad:]
+            n_win = h.astype(jnp.float32) * wvec_ref[0]  # (1, wn)
+            energy = jnp.maximum(b2 - b1 * b1 / n_win, 0.0)
+            emap = jnp.where(energy > 0, jax.lax.rsqrt(energy), 0.0)
+            # NOTE emap[:, a:b][None], not emap[None, :, a:b]: mixing None
+            # with slices in ONE indexing op traces to a lax.gather Mosaic
+            # cannot lower (hardware-only failure; interpret mode accepts it)
+            for j in range(n_w_pad):
+                slots_ref[pl.ds(cell_ref[hi * n_w_pad + j, 0], 1)] = emap[
+                    :, j * lanes_e : (j + 1) * lanes_e
+                ][None]
+            return _
+
+        if "epilogue" not in _SKIP:
+            jax.lax.fori_loop(0, n_h_pad, height_energy, None)
 
     def slot_energy(si, _):
         h = slot_hw_ref[si, 0]
@@ -263,7 +347,7 @@ def _kernel_body(
         )[None]
         return _
 
-    if "epilogue" not in _SKIP:
+    if grid_epi is None and "epilogue" not in _SKIP:
         jax.lax.fori_loop(0, n_slots, slot_energy, None)
 
     # --- einv gather: expand slot maps to per-group rows --------------------
@@ -559,6 +643,7 @@ def auto_probe_rows(
     hb: int, wb: int, hk: int, wk: int, *,
     n_var: int, n_classes: int, g_pad: int,
     n_slots_est: int = 80, compute_itemsize: int = 4,
+    epi_grid_est: tuple[int, int] | None = None,
 ) -> int:
     """Largest MXU row count N (probe batch * variants) whose kernel fits
     the device's scoped VMEM: solve bytes(N) <= cap for the linear model
@@ -581,10 +666,23 @@ def auto_probe_rows(
         + 4 * g_pad                                 # resident output column
         + (mosaic_headroom_bytes(1024) - mosaic_headroom_bytes(0)) / 1024
     )
+    if epi_grid_est is not None:
+        # cross-product epilogue: +1 trash slots row, the band-matrix
+        # scratch (wi x n_w*lanes_e f32), and the rowdiff pass as a live
+        # (2*hb_pad, wi) value instead of scratch (counted the same)
+        epi_b = (
+            4 * (n_slots_est + 1) * hb_pad * lanes_e            # slots
+            + 4 * wi * epi_grid_est[1] * lanes_e                # band
+            + 4 * 2 * hb_pad * max(wi, epi_grid_est[1] * lanes_e)  # rowdiff/compact
+        )
+    else:
+        epi_b = (
+            4 * n_slots_est * hb_pad * lanes_e                  # slots
+            + 4 * 2 * hb_pad * wi                               # rowdiff
+        )
     b = (
         compute_itemsize * wk * (hb_pad + hk - 1 + 7) * lanes  # rolls
-        + 4 * n_slots_est * hb_pad * lanes_e                   # slots
-        + 4 * 2 * hb_pad * wi                                  # rowdiff
+        + epi_b
         + 4 * 2 * hb * gt * ws                                 # p0 block
         + 4 * 2 * 2 * he * wi                                  # int12 block
         + mosaic_headroom_bytes(0)
@@ -682,6 +780,49 @@ def derive_class_taps(
     return tuple(taps)
 
 
+def build_epilogue_grid(
+    slot_hw: "_np.ndarray",
+    *,
+    n_h_pad: int | None = None,
+    n_w_pad: int | None = None,
+    n_live: int | None = None,
+) -> tuple["_np.ndarray", "_np.ndarray", "_np.ndarray"]:
+    """Factor distinct window sizes into the kernel's cross-product epilogue.
+
+    ``slot_hw`` (n_slots, 2) int32 HOST-KNOWN window sizes (the first
+    ``n_live`` rows are real; trailing rows are batch-shape filler). Returns
+    ``(heights (n_h_pad,), widths (n_w_pad,), cell2slot (n_h_pad*n_w_pad,))``
+    numpy int32 arrays: the kernel computes one energy map per (height,
+    width) grid cell and stores it at ``slots[cell2slot[cell]]`` — cells
+    with no live slot (and filler-height duplicates) route to the trash row
+    ``n_slots``. Pads replay the last real value so every roll/rsqrt index
+    stays valid. The per-slot smap (group -> slot) is unchanged.
+    """
+    slot_hw = _np.asarray(slot_hw, dtype=_np.int32)
+    n_slots = len(slot_hw)
+    live = slot_hw[: n_live if n_live is not None else n_slots]
+    hs = _np.unique(live[:, 0])
+    ws_d = _np.unique(live[:, 1])
+    n_h_pad = n_h_pad or len(hs)
+    n_w_pad = n_w_pad or len(ws_d)
+    if len(hs) > n_h_pad or len(ws_d) > n_w_pad:
+        raise ValueError(
+            f"epilogue grid pad ({n_h_pad}, {n_w_pad}) smaller than the live "
+            f"distinct sizes ({len(hs)}, {len(ws_d)})"
+        )
+    heights = _np.concatenate([hs, _np.repeat(hs[-1:], n_h_pad - len(hs))])
+    widths = _np.concatenate([ws_d, _np.repeat(ws_d[-1:], n_w_pad - len(ws_d))])
+    cell2slot = _np.full(n_h_pad * n_w_pad, n_slots, _np.int32)  # trash row
+    h_idx = _np.searchsorted(hs, live[:, 0])
+    w_idx = _np.searchsorted(ws_d, live[:, 1])
+    cell2slot[h_idx * n_w_pad + w_idx] = _np.arange(len(live), dtype=_np.int32)
+    return (
+        heights.astype(_np.int32),
+        widths.astype(_np.int32),
+        cell2slot,
+    )
+
+
 def pack_kernel_operands(
     kernels: jnp.ndarray,
     *,
@@ -743,6 +884,7 @@ def score_direct_pallas(
     slot_hw: jnp.ndarray | None = None,
     slot_map: jnp.ndarray | None = None,
     class_canvas_hw: Sequence[tuple[int, int]] | None = None,
+    epi: tuple | None = None,
 ) -> jnp.ndarray:
     """Drop-in fused-kernel equivalent of :func:`..ncc_direct.score_direct`.
 
@@ -799,6 +941,7 @@ def score_direct_pallas(
         gops, kern_inputs, slot_hw, slot_map,
         layout=layout, true_channels=true_channels, hk=hk, wk=wk,
         class_taps=class_taps, compute_dtype=compute_dtype, interpret=interpret,
+        epi=epi,
     )
     return scores[:, :g]
 
@@ -816,6 +959,7 @@ def score_packed_operands(
     class_taps: tuple[tuple[int, int, int, int], ...] | None = None,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    epi: tuple | None = None,
 ) -> jnp.ndarray:
     """Run the fused NCC kernel on pre-packed operands.
 
@@ -824,6 +968,16 @@ def score_packed_operands(
     across gallery blocks). Returns (N_total, G_pad) float32 scores — the
     caller slices the gallery pad columns (filler prints score a masked max
     over their 8x8 dummy region, finite but meaningless).
+
+    ``epi`` = ``(heights, widths, cell2slot)`` from
+    :func:`build_epilogue_grid` switches the energy epilogue to the
+    cross-product form: one wide band-dot per distinct window HEIGHT
+    instead of one narrow dot per distinct (h, w) pair — the production
+    fast path (fewer, deeper MXU passes; ~7x fewer epilogue loop
+    iterations at WVU batch scale). Requires host-known window sizes; the
+    arrays may be traced, but their SHAPES fix the grid. ``slot_hw`` rows
+    are then only read for their count (the slots scratch extent) and
+    ``slot_map`` keeps its group->slot meaning unchanged.
     """
     c_pad, n_gg, hb, p0_lanes = gops.p0p.shape
     g_pad = gops.gvalid.shape[0]
@@ -874,17 +1028,59 @@ def score_packed_operands(
             lidx_np[0, q * wb + x] = q * we + x
     for x in range(lanes_e - gt * wb):
         lidx_np[0, gt * wb + x] = x
-    lidx = jnp.asarray(lidx_np)[None]  # (1, 1, lanes_e)
+
+    grid_shape = None
+    if epi is not None:
+        epi_h, epi_w, epi_cell = epi
+        n_h_pad = int(epi_h.shape[0])
+        n_w_pad = int(epi_w.shape[0])
+        grid_shape = (n_h_pad, n_w_pad)
+        wn = n_w_pad * lanes_e
+        # per-lane band column indices: block j carries width j's shifts on
+        # the shared source-column geometry (same values the per-slot path
+        # derives one slot at a time)
+        src = jnp.asarray(_np.tile(lidx_np, (1, n_w_pad)))  # (1, wn)
+        w_lane = jnp.repeat(
+            jnp.asarray(epi_w).astype(jnp.int32), lanes_e
+        )[None]  # (1, wn)
+        hi_idx = (src + top + (w_lane - 1) // 2 + 1)[None]  # (1, 1, wn)
+        lo_idx = (src + top - w_lane // 2)[None]
+        wvec = w_lane.astype(jnp.float32)[None]
+        hts = jnp.asarray(epi_h).astype(jnp.int32)[:, None]        # (n_h_pad, 1)
+        cell2slot = jnp.asarray(epi_cell).astype(jnp.int32)[:, None]  # (cells, 1)
+    else:
+        lidx = jnp.asarray(lidx_np)[None]  # (1, 1, lanes_e)
 
     body = functools.partial(
         _kernel_body, layout.class_counts, class_taps, layout.pb, gt, hb,
         hb_pad, wb, hk, wk, we, top, true_channels, compute_dtype,
+        grid_shape,
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_gg, c_pad),
-        in_specs=[
+    if epi is not None:
+        in_specs = [
+            pl.BlockSpec((n_h_pad, 1), lambda gg, cc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_h_pad * n_w_pad, 1), lambda gg, cc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((layout.n_groups,), lambda gg, cc: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((g_pad, 2), lambda gg, cc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, hb, gt * ws), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * he, wi), lambda gg, cc: (cc, gg, 0, 0)),
+            pl.BlockSpec((1, 1, wn), lambda gg, cc: (0, 0, 0)),
+            pl.BlockSpec((1, 1, wn), lambda gg, cc: (0, 0, 0)),
+            pl.BlockSpec((1, 1, wn), lambda gg, cc: (0, 0, 0)),
+        ]
+        inputs = (hts, cell2slot, slot_map, gvalid, p0p, int12p,
+                  hi_idx, lo_idx, wvec)
+        # +1 slots row: grid cells with no live slot (and filler-height
+        # duplicates) write a trash row the smap never reads
+        slots_rows = n_slots + 1
+        extra_scratch = [pltpu.VMEM((wi, wn), jnp.float32)]  # band matrix
+    else:
+        in_specs = [
             pl.BlockSpec((n_slots, 2), lambda gg, cc: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((layout.n_groups,), lambda gg, cc: (0,),
@@ -893,6 +1089,16 @@ def score_packed_operands(
             pl.BlockSpec((1, 1, hb, gt * ws), lambda gg, cc: (cc, gg, 0, 0)),
             pl.BlockSpec((1, 1, 2 * he, wi), lambda gg, cc: (cc, gg, 0, 0)),
             pl.BlockSpec((1, 1, lanes_e), lambda gg, cc: (0, 0, 0)),
+        ]
+        inputs = (slot_hw, slot_map, gvalid, p0p, int12p, lidx)
+        slots_rows = n_slots
+        extra_scratch = [pltpu.VMEM((2 * hb_pad, wi), jnp.float32)]  # rowdiff
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_gg, c_pad),
+        in_specs=[
+            *in_specs,
             *[
                 pl.BlockSpec(
                     (1, kf.shape[1], kf.shape[2]), lambda gg, cc: (cc, 0, 0)
@@ -912,9 +1118,9 @@ def score_packed_operands(
                 jnp.float32,
             ),
             pltpu.VMEM(
-                (n_slots, hb_pad, -(-(gt * wb) // 128) * 128), jnp.float32
+                (slots_rows, hb_pad, -(-(gt * wb) // 128) * 128), jnp.float32
             ),
-            pltpu.VMEM((2 * hb_pad, wi), jnp.float32),
+            *extra_scratch,
         ],
     )
 
@@ -932,13 +1138,5 @@ def score_packed_operands(
         out_shape=jax.ShapeDtypeStruct((g_pad, n_pad), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else compiler_params,
-    )(
-        slot_hw,
-        slot_map,
-        gvalid,
-        p0p,
-        int12p,
-        lidx,
-        *kern_inputs,
-    )
+    )(*inputs, *kern_inputs)
     return jnp.transpose(scores)[:n_total]

@@ -182,8 +182,14 @@ def make_sharded_packed_scorer(
     interpret: bool = False,
     class_canvas_hw: tuple[tuple[int, int], ...] | None = None,
     kernel_hw: tuple[int, int] | None = None,
+    use_epi: bool = False,
 ):
-    """Jitted (packed, slot_hw, slot_map) -> (N, G) scorer over the mesh.
+    """Jitted (packed, slot_hw, slot_map[, epi]) -> (N, G) scorer over the mesh.
+
+    ``use_epi`` switches the per-shard kernel to the cross-product energy
+    epilogue (:func:`~..ops.pallas.ncc_kernel.build_epilogue_grid`); the
+    returned ``score`` then requires its ``epi`` argument — a replicated
+    (heights, widths, cell2slot) triple.
 
     Runs the SAME scoring kernel as the single-device path on each shard —
     the fused Pallas kernel when ``use_pallas`` (the TPU fast path; round-1
@@ -207,9 +213,11 @@ def make_sharded_packed_scorer(
         sharded_cache.p0.shape[1] // mesh.shape[GALLERY_AXIS]
         if use_pops else None
     )
+    use_epi = use_epi and use_pallas
     impl_key = (
         mesh, true_channels, layout, g_true, use_pallas,
         str(compute_dtype), interpret, class_canvas_hw, kernel_hw, g_local,
+        use_epi,
     )
     impls = _packed_scorer_impls.get(impl_key)
     if impls is not None:
@@ -241,7 +249,7 @@ def make_sharded_packed_scorer(
                 ),
             ))
 
-            def local(p0p, int12p, gvalid, kernels, slot_hw, slot_map):
+            def local(p0p, int12p, gvalid, kernels, slot_hw, slot_map, *epi_args):
                 # the kernel returns the shard's gt-padded columns, which
                 # must be sliced to g_local (the shard's true print count)
                 # before the tiled all_gather re-concatenates shards or the
@@ -255,7 +263,7 @@ def make_sharded_packed_scorer(
                     slot_hw, slot_map, layout=layout,
                     true_channels=true_channels, hk=hk, wk=wk,
                     class_taps=class_taps, compute_dtype=compute_dtype,
-                    interpret=interpret,
+                    interpret=interpret, epi=epi_args or None,
                 )[:, :g_local]
                 return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
 
@@ -264,13 +272,15 @@ def make_sharded_packed_scorer(
                 (
                     P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
                     P(GALLERY_AXIS), P(), P(), P(),
+                    *((P(), P(), P()) if use_epi else ()),
                 ),
                 g_true,
             )
 
         else:
 
-            def local(p0, int1, int2, gvalid, kernels, window_hw, slot_hw, slot_map):
+            def local(p0, int1, int2, gvalid, kernels, window_hw, slot_hw,
+                      slot_map, *epi_args):
                 local_cache = DirectGalleryCache(p0, int1, int2, gvalid)
                 packed = PackedVariants(kernels, window_hw)
                 if use_pallas:
@@ -278,7 +288,7 @@ def make_sharded_packed_scorer(
                         local_cache, packed, true_channels=true_channels,
                         layout=layout, slot_hw=slot_hw, slot_map=slot_map,
                         compute_dtype=compute_dtype, interpret=interpret,
-                        class_canvas_hw=class_canvas_hw,
+                        class_canvas_hw=class_canvas_hw, epi=epi_args or None,
                     )
                 else:
                     s = score_direct(
@@ -292,6 +302,7 @@ def make_sharded_packed_scorer(
                 (
                     P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
                     P(GALLERY_AXIS), P(), P(), P(), P(),
+                    *((P(), P(), P()) if use_epi else ()),
                 ),
                 g_true,
             )
@@ -306,19 +317,19 @@ def make_sharded_packed_scorer(
             sharded_cache.valid_hw,
         )
 
-        def score(packed: PackedVariants, slot_hw, slot_map):
+        def score(packed: PackedVariants, slot_hw, slot_map, epi=None):
             return score_impl(
                 gops.p0p, gops.int12p, gops.gvalid, packed.kernels,
-                slot_hw, slot_map,
+                slot_hw, slot_map, *(epi if use_epi else ()),
             )
 
     else:
 
-        def score(packed: PackedVariants, slot_hw, slot_map):
+        def score(packed: PackedVariants, slot_hw, slot_map, epi=None):
             return score_impl(
                 sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
                 sharded_cache.valid_hw, packed.kernels, packed.window_hw,
-                slot_hw, slot_map,
+                slot_hw, slot_map, *(epi if use_epi else ()),
             )
 
     return score

@@ -21,6 +21,7 @@ many distinct image sizes it contains.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
@@ -50,6 +51,7 @@ from ..ops.ncc_direct import (
 from ..ops.pallas.ncc_kernel import (
     auto_gallery_block,
     auto_probe_rows,
+    build_epilogue_grid,
     derive_class_taps,
     pack_gallery_operands,
     pack_kernel_operands,
@@ -577,12 +579,13 @@ class Pipeline:
         # cache is a jit *argument* (not a closure capture): jit would
         # constant-fold captured arrays via a device->host pull, and large
         # transfers hang over the axon TPU tunnel.
-        def score_packed_fn(cache_arg, packed, slot_hw, slot_map):
+        def score_packed_fn(cache_arg, packed, slot_hw, slot_map, epi=None):
             if use_pallas:
                 scores = score_direct_pallas(
                     cache_arg, packed, true_channels=true_c, layout=layout,
                     slot_hw=slot_hw, slot_map=slot_map, compute_dtype=dtype,
                     interpret=interpret, class_canvas_hw=class_canvas_hw,
+                    epi=epi,
                 )
             else:
                 scores = score_direct(
@@ -593,9 +596,9 @@ class Pipeline:
 
         @jax.jit
         def score_batch(cache_arg, maps, valid, ridx, rok, wvq, whq, shw,
-                        windows, slot_hw, slot_map):
+                        windows, slot_hw, slot_map, epi=None):
             packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
-            return score_packed_fn(cache_arg, packed, slot_hw, slot_map)
+            return score_packed_fn(cache_arg, packed, slot_hw, slot_map, epi)
 
         # --- hoisted-operand fast path (single-device pallas) --------------
         # The fused kernel's operand packing splits by what it depends on:
@@ -616,19 +619,21 @@ class Pipeline:
                 class_taps=class_taps,
             )
 
-        def score_pops_fn(gops, kern_inputs, slot_hw, slot_map):
+        def score_pops_fn(gops, kern_inputs, slot_hw, slot_map, epi=None):
             scores = score_packed_operands(
                 gops, kern_inputs, slot_hw, slot_map, layout=layout,
                 true_channels=true_c, hk=hkk, wk=wkk, class_taps=class_taps,
-                compute_dtype=dtype, interpret=interpret,
+                compute_dtype=dtype, interpret=interpret, epi=epi,
             )
             return regroup_max(scores)
 
         @jax.jit
         def score_batch_pops(gops, maps, valid, ridx, rok, wvq, whq, shw,
-                             windows, slot_hw, slot_map):
+                             windows, slot_hw, slot_map, epi=None):
             packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
-            return score_pops_fn(gops, pack_kern_fn(packed.kernels), slot_hw, slot_map)
+            return score_pops_fn(
+                gops, pack_kern_fn(packed.kernels), slot_hw, slot_map, epi
+            )
 
         @jax.jit
         def build_kern_inputs(maps, valid, ridx, rok, wvq, whq, shw, windows):
@@ -750,7 +755,23 @@ class Pipeline:
         all_wins = [np.asarray(q_valid) - 2 * EDGE_CROP]
         for si in range(n_scl):
             all_wins.append(np.asarray(scale_hw)[:, si] - 2 * EDGE_CROP)
-        n_slots_ub = len(np.unique(np.concatenate(all_wins), axis=0)) + 1
+        allw = np.concatenate(all_wins)
+        n_slots_ub = len(np.unique(allw, axis=0)) + 1
+        # cross-product ("grid") energy epilogue: one wide band-dot per
+        # distinct window HEIGHT instead of one narrow dot per (h, w) pair —
+        # ~7x fewer epilogue iterations at WVU batch scale (see
+        # ncc_kernel._kernel_body). Cluster-wide distinct-height/width
+        # counts fix the compiled grid shape across probe batches. Falls
+        # back to the per-slot epilogue when the (h, w) grid is far sparser
+        # than its cross product (the grid then wastes VMEM and band-dot
+        # lanes) or when SIR_EPI=slot forces it for A/B.
+        n_h_ub = len(np.unique(allw[:, 0]))
+        n_w_ub = len(np.unique(allw[:, 1]))
+        epi_grid_pad = None
+        if use_pallas and os.environ.get("SIR_EPI", "grid") != "slot" and (
+            n_h_ub * n_w_ub <= max(256, 4 * n_slots_ub)
+        ):
+            epi_grid_pad = (n_h_ub, n_w_ub)
         # Per-class tap canvases (score_direct_pallas class_canvas_hw) are
         # DISABLED here: measured a net loss on v5e at WVU shapes — the
         # per-class sub-slice dots cost +58% kernel wall (16.30 -> 10.29
@@ -774,7 +795,7 @@ class Pipeline:
                 gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
                 n_var=n_var, n_classes=len(class_counts),
                 g_pad=-(-min(g_total, 1024) // gt_pack) * gt_pack,
-                n_slots_est=n_slots_ub,
+                n_slots_est=n_slots_ub, epi_grid_est=epi_grid_pad,
             )
             pb_est = max(1, min(len(q_maps), n_rows_est // max(1, n_var)))
             stack_b = ((-(-pb_est * n_var // 8) * 8)
@@ -794,7 +815,7 @@ class Pipeline:
             gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
             n_var=n_var, n_classes=len(class_counts),
             g_pad=-(-gb_cfg // gt_pack) * gt_pack,
-            n_slots_est=n_slots_ub,
+            n_slots_est=n_slots_ub, epi_grid_est=epi_grid_pad,
         )
         pb = self.config["tpu"].get("probe_batch", 0) or max(
             1, n_rows_max // max(1, n_var)
@@ -931,8 +952,8 @@ class Pipeline:
         # executable below is hot by the time real scoring starts. Repeat
         # signatures skip the dummy device work entirely.
         sig = (true_c, hc, wc, kernel_hw, class_counts, class_canvas_hw, pb,
-               n_slots, gb, prebuild, tuple(g_maps.shape), len(q_maps),
-               mesh_size, use_pallas, str(dtype))
+               n_slots, epi_grid_pad, gb, prebuild, tuple(g_maps.shape),
+               len(q_maps), mesh_size, use_pallas, str(dtype))
         if prewarm and sig in self._warmed:
             return np.zeros((len(q_maps), g_total), np.float32)
         self._warmed.add(sig)
@@ -957,7 +978,14 @@ class Pipeline:
             wins, uniq, smap = batch_windows[lo]
             slot_hw = np.full((n_slots, 2), 2 * EDGE_CROP + 8, np.int32)
             slot_hw[: len(uniq)] = uniq
-            return jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap)
+            epi_d = None
+            if epi_grid_pad is not None:
+                eh, ew, ec = build_epilogue_grid(
+                    slot_hw, n_h_pad=epi_grid_pad[0], n_w_pad=epi_grid_pad[1],
+                    n_live=len(uniq),
+                )
+                epi_d = (jnp.asarray(eh), jnp.asarray(ew), jnp.asarray(ec))
+            return jnp.asarray(wins), jnp.asarray(slot_hw), jnp.asarray(smap), epi_d
 
         def build_args(lo, wins_d):
             return (
@@ -1004,34 +1032,36 @@ class Pipeline:
                     mesh, sharded_cache, true_channels=true_c, layout=layout,
                     g_true=g_pad_true, use_pallas=use_pallas, compute_dtype=dtype,
                     interpret=interpret, class_canvas_hw=class_canvas_hw,
-                    kernel_hw=kernel_hw,
+                    kernel_hw=kernel_hw, use_epi=epi_grid_pad is not None,
                 )
             elif use_pops:
                 gops = fns.pack_gallery(cache)
                 cache = None  # the kernel reads only the packed operands
 
             for lo in score_starts:
-                wins_d, slot_hw_d, smap_d = slots_by_lo[lo]
+                wins_d, slot_hw_d, smap_d, epi_d = slots_by_lo[lo]
                 if mesh is not None:
                     packed = packed_pre.get(lo) if prebuild else None
                     if packed is None:
                         packed = build_fn(*build_args(lo, wins_d))
-                    dev_rows = regroup_max_j(scorer_m(packed, slot_hw_d, smap_d))
+                    dev_rows = regroup_max_j(
+                        scorer_m(packed, slot_hw_d, smap_d, epi_d)
+                    )
                 elif use_pops and prebuild:
                     dev_rows = fns.score_pops(
-                        gops, packed_pre[lo], slot_hw_d, smap_d
+                        gops, packed_pre[lo], slot_hw_d, smap_d, epi_d
                     )
                 elif use_pops:
                     dev_rows = fns.score_batch_pops(
-                        gops, *build_args(lo, wins_d), slot_hw_d, smap_d
+                        gops, *build_args(lo, wins_d), slot_hw_d, smap_d, epi_d
                     )
                 elif prebuild:
                     dev_rows = score_packed_j(
-                        cache, packed_pre[lo], slot_hw_d, smap_d
+                        cache, packed_pre[lo], slot_hw_d, smap_d, epi_d
                     )
                 else:
                     dev_rows = score_batch(
-                        cache, *build_args(lo, wins_d), slot_hw_d, smap_d
+                        cache, *build_args(lo, wins_d), slot_hw_d, smap_d, epi_d
                     )
                 pending.append((lo, b_lo, b_hi, dev_rows))
                 drain(2)

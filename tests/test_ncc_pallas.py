@@ -472,3 +472,36 @@ def test_pallas_fuzz_random_geometries():
             err_msg=f"trial={trial} c={c} g={g} canvas={canvas} "
                     f"kernel={kernel_hw} counts={class_counts} pb={pb} gt={gt}",
         )
+
+        # cross-product ("grid") energy epilogue must match the per-slot
+        # path exactly on every geometry draw (same band columns, same
+        # two-term dot — build_epilogue_grid only refactors the loop)
+        from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+            build_epilogue_grid,
+        )
+
+        wins_np = np.asarray(wins, np.int32)
+        uniq, inv = np.unique(wins_np, axis=0, return_inverse=True)
+        # pad the slot table + the grid the way the engine does (fixed
+        # compiled shapes across batches; fillers replay / route to trash)
+        n_slots_pad = len(uniq) + int(rng.integers(0, 3))
+        slot_hw = np.full((n_slots_pad, 2), 12, np.int32)
+        slot_hw[: len(uniq)] = uniq
+        epi = build_epilogue_grid(
+            slot_hw,
+            n_h_pad=len(np.unique(uniq[:, 0])) + int(rng.integers(0, 3)),
+            n_w_pad=len(np.unique(uniq[:, 1])) + int(rng.integers(0, 3)),
+            n_live=len(uniq),
+        )
+        got_grid = np.asarray(score_direct_pallas(
+            cache, packed, true_channels=c, layout=layout,
+            prints_per_step=gt, interpret=True,
+            slot_hw=jnp.asarray(slot_hw),
+            slot_map=jnp.asarray(inv.astype(np.int32)),
+            epi=epi,
+        ))
+        np.testing.assert_array_equal(
+            got_grid, got,
+            err_msg=f"grid-epi trial={trial} slots={len(uniq)} "
+                    f"grid={len(epi[0])}x{len(epi[1])}",
+        )
