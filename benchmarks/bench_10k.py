@@ -25,6 +25,7 @@ oracle on a probe/print subsample.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -82,6 +83,7 @@ def main() -> None:
         fold_template,
     )
     from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        build_epilogue_grid,
         pack_gallery_operands,
         pack_kernel_operands,
         score_packed_operands,
@@ -275,11 +277,29 @@ def main() -> None:
         for (pk, sh, sm) in batches
     ]
 
+    # cross-product grid energy epilogue (B10K_EPI=slot for A/B); pads are
+    # shared across batches so equal slot counts reuse one compiled kernel
+    if os.environ.get("B10K_EPI", "grid") == "grid":
+        uniqs = [np.asarray(sh) for (_, sh, _) in batches]
+        n_h_pad = max(len(np.unique(u[:, 0])) for u in uniqs)
+        n_w_pad = max(len(np.unique(u[:, 1])) for u in uniqs)
+        log(f"epilogue: grid {n_h_pad}x{n_w_pad}")
+        epis = [
+            tuple(jnp.asarray(a) for a in build_epilogue_grid(
+                u, n_h_pad=n_h_pad, n_w_pad=n_w_pad
+            ))
+            for u in uniqs
+        ]
+    else:
+        log("epilogue: per-slot")
+        epis = [None] * len(batches)
+    batches = [(*b, epi) for b, epi in zip(batches, epis)]
+
     @jax.jit
-    def score_block(gops, kern_inputs, slot_hw, slot_map):
+    def score_block(gops, kern_inputs, slot_hw, slot_map, epi=None):
         s = score_packed_operands(
             gops, kern_inputs, slot_hw, slot_map, layout=layout,
-            true_channels=C, hk=kernel_hw[0], wk=kernel_hw[1],
+            true_channels=C, hk=kernel_hw[0], wk=kernel_hw[1], epi=epi,
         )[:, :BLK]
         if not args.sweep:
             return s
@@ -324,8 +344,8 @@ def main() -> None:
         cache = build_cache(gen(bi, bs), bs)
         gops = pack_gal(cache)
         del cache  # the kernel reads only the packed operands
-        for k, (ki, sh, sm) in enumerate(batches):
-            pending.append((bi, k, score_block(gops, ki, sh, sm)))
+        for k, (ki, sh, sm, epi) in enumerate(batches):
+            pending.append((bi, k, score_block(gops, ki, sh, sm, epi)))
             if len(pending) > 2:
                 pull(*pending.pop(0))
         del gops  # allow the allocator to retire the block's operands

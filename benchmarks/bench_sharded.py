@@ -133,6 +133,7 @@ def main() -> None:
         build_direct_cache, score_direct,
     )
     from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        build_epilogue_grid,
         pack_gallery_operands,
         pack_kernel_operands,
         score_packed_operands,
@@ -163,6 +164,12 @@ def main() -> None:
     jax.block_until_ready(cache.p0)
 
     use_pallas = not SCALING
+    # production grid epilogue on the pallas paths (EPI=slot for A/B)
+    use_epi = use_pallas and os.environ.get("EPI", "grid") == "grid"
+    epi = (
+        tuple(jnp.asarray(a) for a in build_epilogue_grid(np.asarray(slot_hw)))
+        if use_epi else None
+    )
 
     # both sides run the HOISTED operand path (pack once, time the bare
     # kernel + wrapper) — the engine's production structure on each
@@ -178,10 +185,10 @@ def main() -> None:
                 lambda k: pack_kernel_operands(
                     k, layout=layout, c_pad=cache.p0.shape[0])
             )(packed.kernels))
-            f = jax.jit(lambda g, k, sh, sm: score_packed_operands(
+            f = jax.jit(lambda g, k, sh, sm, e=None: score_packed_operands(
                 g, k, sh, sm, true_channels=C, layout=layout,
-                hk=kernel_hw[0], wk=kernel_hw[1])[:, :G])
-            return f, (gops, ki, slot_hw, slot_map)
+                hk=kernel_hw[0], wk=kernel_hw[1], epi=e)[:, :G])
+            return f, (gops, ki, slot_hw, slot_map, epi)
         f = jax.jit(lambda c, p: score_direct(
             c, p, true_channels=C, layout=layout))
         return f, (cache, packed)
@@ -211,15 +218,15 @@ def main() -> None:
         sc, g_true = shard_cache(cache, mesh)
         scorer = make_sharded_packed_scorer(
             mesh, sc, true_channels=C, layout=layout, g_true=g_true,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, use_epi=use_epi,
             kernel_hw=kernel_hw if use_pallas else None,
         )
         t0 = time.perf_counter()
-        rows = np.asarray(scorer(packed, slot_hw, slot_map))
+        rows = np.asarray(scorer(packed, slot_hw, slot_map, epi))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(reps):
-            r = scorer(packed, slot_hw, slot_map)
+            r = scorer(packed, slot_hw, slot_map, epi)
         np.asarray(r)
         dt = (time.perf_counter() - t0) / reps
         g_pad = -(-G // n) * n
