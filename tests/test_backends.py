@@ -295,3 +295,12 @@ def test_wvu2019_end_to_end(tmp_path):
     pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
     ranks = np.concatenate([o.ranks for o in pipe.run()])
     assert (ranks == 1).all(), ranks
+
+
+def test_backend_pallas_slot_epilogue_matches(dataset, tmp_path, direct_ranks,
+                                              monkeypatch):
+    """SIR_EPI=slot (the per-slot energy epilogue) must rank identically to
+    the default cross-product grid epilogue through the public Pipeline."""
+    monkeypatch.setenv("SIR_EPI", "slot")
+    ranks = _run(dataset, tmp_path, 'ncc_backend = "pallas"')
+    np.testing.assert_array_equal(ranks, direct_ranks)

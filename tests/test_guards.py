@@ -66,3 +66,31 @@ def test_auto_probe_rows_derivation(monkeypatch):
     # floor: an impossibly small cap still returns a runnable batch
     monkeypatch.setenv("SIR_VMEM_BYTES", str(8 * 1024 * 1024))
     assert auto_probe_rows(42, 42, 34, 34, **kw) == 64
+
+
+def test_epilogue_grid_pad_guard_and_routing():
+    """build_epilogue_grid: pads smaller than the live distinct sizes must
+    raise; filler rows replay the last real value; cells with no live slot
+    (and filler-pad duplicates) route to the trash row n_slots."""
+    import numpy as np
+    import pytest
+
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        build_epilogue_grid,
+    )
+
+    live = np.asarray([[10, 12], [10, 16], [14, 12]], np.int32)
+    slot_hw = np.vstack([live, [[8, 8]]]).astype(np.int32)  # 1 filler row
+
+    with pytest.raises(ValueError):
+        build_epilogue_grid(slot_hw, n_h_pad=1, n_w_pad=2, n_live=3)
+
+    hs, ws, cell = build_epilogue_grid(slot_hw, n_h_pad=3, n_w_pad=3, n_live=3)
+    assert hs.tolist() == [10, 14, 14]   # pad replays the last height
+    assert ws.tolist() == [12, 16, 16]
+    cell = cell.reshape(3, 3)
+    assert cell[0, 0] == 0 and cell[0, 1] == 1 and cell[1, 0] == 2
+    # (14, 16) has no live slot; every pad-duplicate cell is trash too
+    trash = len(slot_hw)
+    assert cell[1, 1] == trash
+    assert (cell[2, :] == trash).all() and (cell[:, 2] == trash).all()
