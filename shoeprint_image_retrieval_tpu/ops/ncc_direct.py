@@ -92,13 +92,30 @@ def build_direct_cache(
     )
 
 
-def fold_template(template: jnp.ndarray, valid_hw, kernel_hw: tuple[int, int]) -> jnp.ndarray:
+def fold_template(
+    template: jnp.ndarray,
+    valid_hw,
+    kernel_hw: tuple[int, int],
+    centering: str = "auto",
+) -> jnp.ndarray:
     """Crop, demean, energy-fold and center one template on the kernel canvas.
 
     Args:
         template: (C, hraw, wraw) zero-padded variant maps.
         valid_hw: (2,) traced valid size (pre-crop).
         kernel_hw: static kernel canvas (>= cropped template canvas).
+        centering: how the dynamic centering shift is applied —
+            ``"roll"`` uses ``jnp.roll`` (exact, but a traced-shift roll
+            lowers to per-template dynamic slices: measured ~95-145 ms of a
+            ~175 ms PB=56 variant build on v5e, benchmarks/bench_build.py);
+            ``"dot"`` multiplies by two iota-built one-hot permutation
+            matrices instead — MXU work that cuts the build to ~91 ms.
+            Exact on CPU (each output is a single ``v * 1.0`` product); on
+            the MXU's bf16x3 f32 path it is within one ulp of the roll
+            (measured max 6.0e-8 — all scoring backends share this fold, so
+            backend-mutual and sharded-vs-unsharded bit-identity are
+            unaffected). ``"auto"`` picks "dot" on accelerators and "roll"
+            on CPU at trace time.
 
     Returns:
         (C, hk, wk) f32: ``t0 / sqrt(sum(t0^2))`` centered at
@@ -115,9 +132,25 @@ def fold_template(template: jnp.ndarray, valid_hw, kernel_hw: tuple[int, int]) -
 
     hk, wk = kernel_hw
     u_pad = jnp.pad(u, ((0, 0), (0, hk - hct), (0, wk - wct)))
-    # dynamic centering via roll: the rolled-in tail is all zeros because u
-    # vanishes beyond its (h, w) valid region and h + offset <= hk
-    return jnp.roll(u_pad, (hk // 2 - h // 2, wk // 2 - w // 2), axis=(-2, -1))
+    dy = hk // 2 - h // 2
+    dx = wk // 2 - w // 2
+    if centering == "auto":
+        centering = "roll" if jax.default_backend() == "cpu" else "dot"
+    if centering == "roll":
+        # dynamic centering via roll: the rolled-in tail is all zeros because
+        # u vanishes beyond its (h, w) valid region and h + offset <= hk
+        return jnp.roll(u_pad, (dy, dx), axis=(-2, -1))
+    if centering != "dot":
+        raise LookupError(f"Unknown centering mode: {centering!r}")
+    # centering as two one-hot permutation matmuls: out[i] = in[(i - dy) % n]
+    io = jax.lax.broadcasted_iota(jnp.int32, (hk, hk), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (hk, hk), 1)
+    ph = (ji == (io - dy) % hk).astype(u_pad.dtype)  # (row out, row in)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (wk, wk), 0)
+    wo = jax.lax.broadcasted_iota(jnp.int32, (wk, wk), 1)
+    pw = (wi == (wo - dx) % wk).astype(u_pad.dtype)  # (col in, col out)
+    rows = jnp.einsum("ij,cjw->ciw", ph, u_pad, precision="highest")
+    return jnp.einsum("ciw,wx->cix", rows, pw, precision="highest")
 
 
 def inv_window_energy(cache: DirectGalleryCache, h, w) -> jnp.ndarray:

@@ -147,3 +147,22 @@ def test_direct_zero_template_gives_zero():
         score_direct(cache, [VariantGroup(k[None], jnp.asarray([4, 4]))], true_channels=c)
     )
     assert np.isfinite(s).all() and s[0, 0] == 0.0
+
+
+def test_fold_centering_dot_equals_roll():
+    """The one-hot-matmul centering is BIT-identical to jnp.roll on CPU.
+
+    (On the MXU's bf16x3 f32 path the dot carries <= 1 ulp; all scoring
+    backends share fold_template, so mutual bit-identity is unaffected —
+    BASELINE.md variant-build notes.)
+    """
+    rng = np.random.default_rng(11)
+    for hw in [(9, 13), (12, 12), (16, 10)]:
+        t = np.zeros((3, 18, 18), np.float32)
+        t[:, : hw[0], : hw[1]] = rng.normal(size=(3, *hw)).astype(np.float32)
+        tv = jnp.asarray(hw, jnp.int32)
+        a = np.asarray(fold_template(jnp.asarray(t), tv, (14, 14), centering="roll"))
+        b = np.asarray(fold_template(jnp.asarray(t), tv, (14, 14), centering="dot"))
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(LookupError):
+        fold_template(jnp.asarray(t), tv, (14, 14), centering="spin")
