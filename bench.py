@@ -230,7 +230,11 @@ def main() -> None:
         for cnt in class_counts:
             parts.append(scores[off : off + PB * cnt].reshape(PB, cnt, -1))
             off += PB * cnt
-        return jnp.max(jnp.concatenate(parts, axis=1), axis=1)  # (PB, G)
+        # zeros-init score floor of the reference's max accumulator
+        # (reference similarity.py:355-367) — matches engine regroup_max
+        return jnp.maximum(
+            jnp.max(jnp.concatenate(parts, axis=1), axis=1), 0.0
+        )  # (PB, G)
 
     def stack_args(lo):
         take = list(range(lo, min(lo + PB, Q)))

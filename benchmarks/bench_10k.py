@@ -307,7 +307,11 @@ def main() -> None:
         for cnt in layout.class_counts:
             parts.append(s[off : off + QB * cnt].reshape(QB, cnt, -1))
             off += QB * cnt
-        return jnp.max(jnp.concatenate(parts, axis=1), axis=1)  # (QB, BLK)
+        # zeros-init score floor (reference similarity.py:355-367), as in
+        # the engine's regroup_max
+        return jnp.maximum(
+            jnp.max(jnp.concatenate(parts, axis=1), axis=1), 0.0
+        )  # (QB, BLK)
 
     n_blocks = -(-G // BLK)
     scores = np.zeros((PB, n_blocks * BLK), np.float32)

@@ -70,6 +70,13 @@ class TpuConfig(TypedDict, total=True):
             rotated-but-unscaled variants are never scored (reference
             similarity.py:321-353 composition quirk); ``"full"`` scores the
             corrected full cross product {originals ∪ rotations} × ({1} ∪ scales).
+            In BOTH modes the max-over-variants score is floored at 0.0,
+            reproducing the reference's zeros-initialized accumulator that
+            only overwrites on ``>`` (reference similarity.py:355-367): the
+            floor is an accumulation-semantics property, independent of
+            which variant set is scored, and the CPU oracle shares it —
+            anti-correlated pairs whose best variant is negative score
+            exactly 0.0 (tests/test_score_floor.py).
         extraction_batch: max images per batched feature-extraction step
             (default 32: conv GEMM M-rows scale with the batch — measured
             91/97/138 backbone img/s at batch 8/16/32 on 704 px canvases;

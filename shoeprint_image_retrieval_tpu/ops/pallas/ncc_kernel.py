@@ -673,7 +673,11 @@ def auto_probe_rows(
         epi_b = (
             4 * (n_slots_est + 1) * hb_pad * lanes_e            # slots
             + 4 * wi * epi_grid_est[1] * lanes_e                # band
-            + 4 * 2 * hb_pad * max(wi, epi_grid_est[1] * lanes_e)  # rowdiff/compact
+            # rowdiff/compact: the (2*hb_pad, wi) rowdiff and the
+            # (2*hb_pad, n_w*lanes_e) compact are both live across the
+            # band MXU dot, so the peak is their SUM (a max under-counts
+            # and can push edge shapes over the scoped-VMEM cap)
+            + 4 * 2 * hb_pad * (wi + epi_grid_est[1] * lanes_e)
         )
     else:
         epi_b = (
@@ -801,6 +805,16 @@ def build_epilogue_grid(
     slot_hw = _np.asarray(slot_hw, dtype=_np.int32)
     n_slots = len(slot_hw)
     live = slot_hw[: n_live if n_live is not None else n_slots]
+    # live rows must be DISTINCT (h, w) pairs: cell2slot maps each grid cell
+    # to exactly one slot row, so a duplicate's earlier row would never be
+    # written and the kernel's einv gather would read uninitialized VMEM
+    # scratch. Production callers pass np.unique-derived tables; anyone else
+    # must dedupe (np.unique(wins, axis=0)) and pass n_live.
+    if len(_np.unique(live, axis=0)) != len(live):
+        raise ValueError(
+            "build_epilogue_grid: live slot_hw rows contain duplicate (h, w) "
+            "pairs — dedupe with np.unique(..., axis=0) and pass n_live"
+        )
     hs = _np.unique(live[:, 0])
     ws_d = _np.unique(live[:, 1])
     n_h_pad = n_h_pad or len(hs)

@@ -311,6 +311,16 @@ def make_sharded_packed_scorer(
         while len(_packed_scorer_impls) > _PACKED_SCORER_MEMO_MAX:
             _packed_scorer_impls.popitem(last=False)
 
+    def _epi_args(epi):
+        if not use_epi:
+            return ()
+        if epi is None:
+            raise ValueError(
+                "use_epi scorer requires epi=(heights, widths, cell2slot) — "
+                "build it with ops.pallas.ncc_kernel.build_epilogue_grid"
+            )
+        return tuple(epi)
+
     if use_pops:
         gops = pack_impl(
             sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
@@ -320,7 +330,7 @@ def make_sharded_packed_scorer(
         def score(packed: PackedVariants, slot_hw, slot_map, epi=None):
             return score_impl(
                 gops.p0p, gops.int12p, gops.gvalid, packed.kernels,
-                slot_hw, slot_map, *(epi if use_epi else ()),
+                slot_hw, slot_map, *_epi_args(epi),
             )
 
     else:
@@ -329,7 +339,7 @@ def make_sharded_packed_scorer(
             return score_impl(
                 sharded_cache.p0, sharded_cache.int1, sharded_cache.int2,
                 sharded_cache.valid_hw, packed.kernels, packed.window_hw,
-                slot_hw, slot_map, *(epi if use_epi else ()),
+                slot_hw, slot_map, *_epi_args(epi),
             )
 
     return score

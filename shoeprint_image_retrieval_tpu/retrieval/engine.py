@@ -569,12 +569,20 @@ class Pipeline:
             )
 
         def regroup_max(scores):
-            """Class-major (N, G) scores -> (pb, G) max over each probe's variants."""
+            """Class-major (N, G) scores -> (pb, G) max over each probe's variants.
+
+            Floored at 0: the reference initializes its max accumulator to
+            zeros and only overwrites on ``>`` (reference similarity.py:
+            355-367), so every (query, print) score is implicitly
+            ``max(best_variant, 0.0)`` — an anti-correlated pair whose best
+            variant is negative must score exactly 0.0 or its ordering (and
+            tie structure) diverges from the CPU oracle.
+            """
             parts, off = [], 0
             for cnt in layout.class_counts:
                 parts.append(scores[off : off + pb * cnt].reshape(pb, cnt, -1))
                 off += pb * cnt
-            return jnp.max(jnp.concatenate(parts, axis=1), axis=1)
+            return jnp.maximum(jnp.max(jnp.concatenate(parts, axis=1), axis=1), 0.0)
 
         # cache is a jit *argument* (not a closure capture): jit would
         # constant-fold captured arrays via a device->host pull, and large
@@ -1116,7 +1124,9 @@ class Pipeline:
             scores = score_templates(
                 cache_arg, templates, tv, true_channels=true_c
             )  # (V, G)
-            return jnp.max(scores, axis=0)
+            # zeros-init floor of the reference's max accumulator (reference
+            # similarity.py:355-367) — see regroup_max in _scorer_bundle
+            return jnp.maximum(jnp.max(scores, axis=0), 0.0)
 
         out = np.zeros((len(q_maps), len(g_maps)), np.float32)
         for qi in range(len(q_maps)):

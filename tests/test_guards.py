@@ -94,3 +94,65 @@ def test_epilogue_grid_pad_guard_and_routing():
     trash = len(slot_hw)
     assert cell[1, 1] == trash
     assert (cell[2, :] == trash).all() and (cell[:, 2] == trash).all()
+
+
+def test_epilogue_grid_rejects_duplicate_live_rows():
+    """Duplicate live (h, w) rows would leave earlier duplicates' slot rows
+    unwritten (cell2slot keeps only the last) — the einv gather would read
+    uninitialized VMEM scratch, so the builder must refuse (ADVICE r3)."""
+    import numpy as np
+    import pytest
+
+    from shoeprint_image_retrieval_tpu.ops.pallas.ncc_kernel import (
+        build_epilogue_grid,
+    )
+
+    dup = np.asarray([[10, 12], [10, 12], [14, 16]], np.int32)
+    with pytest.raises(ValueError, match="duplicate"):
+        build_epilogue_grid(dup)
+    # filler duplicates past n_live stay legal
+    slot_hw = np.asarray([[10, 12], [14, 16], [8, 8], [8, 8]], np.int32)
+    build_epilogue_grid(slot_hw, n_live=2)
+
+
+def test_sharded_use_epi_requires_epi_argument():
+    """A use_epi sharded scorer called without its epi triple must raise a
+    clear error, not an opaque '*(None)' TypeError (ADVICE r3)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from shoeprint_image_retrieval_tpu.ops.ncc_direct import (
+        PackedVariants,
+        VariantLayout,
+        build_direct_cache,
+        fold_template,
+    )
+    from shoeprint_image_retrieval_tpu.parallel.mesh import build_mesh
+    from shoeprint_image_retrieval_tpu.parallel.sharded import (
+        make_sharded_packed_scorer,
+        shard_cache,
+    )
+
+    rng = np.random.default_rng(0)
+    g_maps = jnp.asarray(rng.normal(size=(4, 3, 14, 14)).astype(np.float32))
+    g_valid = jnp.asarray(np.full((4, 2), 14, np.int32))
+    cache = build_direct_cache(g_maps, g_valid)
+    mesh = build_mesh(2)
+    sharded, g_true = shard_cache(cache, mesh)
+
+    maps = jnp.asarray(rng.normal(size=(3, 10, 10)).astype(np.float32))
+    valid = jnp.asarray([10, 10], jnp.int32)
+    kernel_hw = (10, 10)
+    kernels = fold_template(maps, valid, kernel_hw)[None]
+    packed = PackedVariants(kernels, (valid - 4)[None].astype(jnp.int32))
+    slot_hw = (valid - 4)[None].astype(jnp.int32)
+    slot_map = jnp.zeros((1,), jnp.int32)
+
+    scorer = make_sharded_packed_scorer(
+        mesh, sharded, true_channels=3, layout=VariantLayout((1,), 1),
+        g_true=g_true, use_pallas=True, interpret=True,
+        kernel_hw=kernel_hw, use_epi=True,
+    )
+    with pytest.raises(ValueError, match="use_epi scorer requires epi"):
+        scorer(packed, slot_hw, slot_map)

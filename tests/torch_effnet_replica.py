@@ -40,17 +40,65 @@ V2M_ROWS = [
     ("mb", 6, 3, 1, 304, 512, 5),
 ]
 
-# torchvision efficientnet_b1: V1 base rows at width 1.0 / depth 1.1
-# (ceil-scaled layer counts), BN eps 1e-5
-B1_ROWS = [
-    ("mb", 1, 3, 1, 32, 16, 2),
-    ("mb", 6, 3, 2, 16, 24, 3),
-    ("mb", 6, 5, 2, 24, 40, 3),
-    ("mb", 6, 3, 2, 40, 80, 4),
-    ("mb", 6, 5, 1, 80, 112, 4),
-    ("mb", 6, 5, 2, 112, 192, 5),
-    ("mb", 6, 3, 1, 192, 320, 2),
+# torchvision efficientnet_v2_s / _l configs (public recipe)
+V2S_ROWS = [
+    ("fused", 1, 3, 1, 24, 24, 2),
+    ("fused", 4, 3, 2, 24, 48, 4),
+    ("fused", 4, 3, 2, 48, 64, 4),
+    ("mb", 4, 3, 2, 64, 128, 6),
+    ("mb", 6, 3, 1, 128, 160, 9),
+    ("mb", 6, 3, 2, 160, 256, 15),
 ]
+V2L_ROWS = [
+    ("fused", 1, 3, 1, 32, 32, 4),
+    ("fused", 4, 3, 2, 32, 64, 7),
+    ("fused", 4, 3, 2, 64, 96, 7),
+    ("mb", 4, 3, 2, 96, 192, 10),
+    ("mb", 6, 3, 1, 192, 224, 19),
+    ("mb", 6, 3, 2, 224, 384, 25),
+    ("mb", 6, 3, 1, 384, 640, 7),
+]
+
+# torchvision EfficientNet V1 scaling recipe: per-variant width/depth
+# multipliers applied to the B0 base rows — channels rounded by
+# _make_divisible(ch * width, 8), layer counts by ceil(n * depth), stem by
+# the same channel rule, head = 4x the last stage's output. BN eps 1e-5.
+V1_BASE_ROWS = [
+    ("mb", 1, 3, 1, 32, 16, 1),
+    ("mb", 6, 3, 2, 16, 24, 2),
+    ("mb", 6, 5, 2, 24, 40, 2),
+    ("mb", 6, 3, 2, 40, 80, 3),
+    ("mb", 6, 5, 1, 80, 112, 3),
+    ("mb", 6, 5, 2, 112, 192, 4),
+    ("mb", 6, 3, 1, 192, 320, 1),
+]
+V1_MULTS = {
+    "B0": (1.0, 1.0), "B1": (1.0, 1.1), "B2": (1.1, 1.2), "B3": (1.2, 1.4),
+    "B4": (1.4, 1.8), "B5": (1.6, 2.2), "B6": (1.8, 2.6), "B7": (2.0, 3.1),
+}
+
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """torchvision.models._utils._make_divisible (public recipe)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def v1_rows(variant: str) -> list:
+    import math
+
+    width, depth = V1_MULTS[variant]
+    return [
+        (kind, e, k, s,
+         _make_divisible(cin * width), _make_divisible(cout * width),
+         int(math.ceil(n * depth)))
+        for kind, e, k, s, cin, cout, n in V1_BASE_ROWS
+    ]
+
+
+B1_ROWS = v1_rows("B1")
 
 BN_EPS = 1e-3  # EfficientNetV2; V1 uses 1e-5
 
@@ -268,6 +316,19 @@ def replica_b1(seed: int = 0) -> Replica:
     """torchvision efficientnet_b1 topology (V1 MBConv, BN eps 1e-5,
     head = 4x last stage = 1280)."""
     return _randomize(Replica(rows=B1_ROWS, head_out=1280, eps=1e-5), seed)
+
+
+def replica_v1(variant: str, seed: int = 0) -> Replica:
+    """Any torchvision EfficientNet B-series topology via the public
+    width/depth scaling recipe (reference network.py:139-162 selects B1-B7)."""
+    rows = v1_rows(variant)
+    return _randomize(Replica(rows=rows, head_out=4 * rows[-1][5], eps=1e-5), seed)
+
+
+def replica_v2(variant: str, seed: int = 0) -> Replica:
+    """torchvision efficientnet_v2_{s,m,l} (reference network.py:163-175)."""
+    rows = {"S": V2S_ROWS, "M": V2M_ROWS, "L": V2L_ROWS}[variant]
+    return _randomize(Replica(rows=rows, head_out=1280, eps=BN_EPS), seed)
 
 
 def replica_vgg(variant: str, seed: int = 0) -> VGGReplica:
