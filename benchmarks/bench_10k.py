@@ -5,9 +5,12 @@ A 10k-print direct cache (p0 + int1 + int2, f32) would need ~40 GB of HBM —
 far over a v5e's 16 GB. This bench streams the gallery through the fused
 Pallas kernel in ``--block``-print blocks: per block, the direct cache is
 built on device from host-resident feature maps, every probe batch is
-scored against it, and score columns assemble on host (the reference
-instead replicates the whole gallery into host shm per worker —
-similarity.py:164-176).
+scored against it, and score columns accumulate into a DEVICE-resident
+(Q, G) buffer; the true-match ranks are computed on device
+(ops/topk.ranks_on_device) so the only result pull is Q int32s — not the
+O(Q*G) score bytes of a host argsort (the reference instead replicates the
+whole gallery into host shm per worker and argsorts on host —
+similarity.py:164-176, 381).
 
 Host memory is bounded too: gallery blocks are GENERATED on demand from a
 per-block seeded RNG, so neither host nor device ever holds the full 10k
@@ -314,7 +317,6 @@ def main() -> None:
         )  # (QB, BLK)
 
     n_blocks = -(-G // BLK)
-    scores = np.zeros((PB, n_blocks * BLK), np.float32)
     gen = make_block_generator(BLK, C, g_hi)
 
     # warm all compiles on block 0
@@ -330,36 +332,65 @@ def main() -> None:
     log(f"per-block cache HBM: {hbm:.2f} GB + {gops_hbm:.2f} GB packed "
         f"operands (x{n_blocks} blocks streamed)")
 
-    # The block loop is PIPELINED: scores stay on device and are pulled two
-    # blocks behind the enqueue front, so the tunnel's host round-trip and
-    # block i+1's cache build overlap block i's scoring instead of
-    # serializing with it.
+    # The block loop is PIPELINED and the score matrix never leaves the
+    # device: per-(block x batch) score rows accumulate into a device-
+    # resident (Q, G) buffer (5 MB at PB=128 x G=10240) and the final ranks
+    # are computed ON DEVICE (ops/topk.ranks_on_device, the north star's
+    # "fused kernel with on-device top-k") — the only result pull is PB
+    # int32 ranks, not the O(Q*G) score bytes the host path needs over the
+    # axon tunnel (reference similarity.py:381 argsorts everything on host).
+    # A 4-byte scalar pull two submissions behind the enqueue front paces
+    # the dispatch queue so block i+1's cache build overlaps block i's
+    # scoring (the same 2-deep drain the engine uses).
+    from shoeprint_image_retrieval_tpu.ops.topk import ranks_on_device
+
+    buf_rows = max(PB, len(batches) * QB)
+    acc = jax.jit(
+        lambda b, r, lo_q, lo_g: jax.lax.dynamic_update_slice(b, r, (lo_q, lo_g)),
+        donate_argnums=0,
+    )
+    buf = jnp.zeros((buf_rows, n_blocks * BLK), jnp.float32)
+
     t0 = time.perf_counter()
-    pending: list[tuple[int, int, object]] = []
-
-    def pull(j, k, s):
-        rows = np.asarray(s)
-        take = batch_rows[k]
-        n_real = len(set(take))
-        scores[take[0] : take[0] + n_real, j * BLK : (j + 1) * BLK] = rows[:n_real]
-
+    pending: list = []
     for bi in range(n_blocks):
         bs = jnp.asarray(block_sizes(bi, BLK, g_lo, g_hi))
         cache = build_cache(gen(bi, bs), bs)
         gops = pack_gal(cache)
         del cache  # the kernel reads only the packed operands
         for k, (ki, sh, sm, epi) in enumerate(batches):
-            pending.append((bi, k, score_block(gops, ki, sh, sm, epi)))
+            rows = score_block(gops, ki, sh, sm, epi)
+            buf = acc(buf, rows, batch_rows[k][0], bi * BLK)
+            pending.append(rows)
             if len(pending) > 2:
-                pull(*pending.pop(0))
+                # pace only: 4 bytes, synchronizes on that call's kernel
+                np.asarray(pending.pop(0)[:1, :1])
         del gops  # allow the allocator to retire the block's operands
-    for item in pending:
-        pull(*item)
+    pending.clear()
+    ranks = np.asarray(
+        jax.jit(ranks_on_device)(
+            buf[:PB, :G], jnp.arange(PB, dtype=jnp.int32)
+        )
+    )  # planted true match of probe i is global print i
     dt = time.perf_counter() - t0
     pps = PB / dt
+    rank_pull_bytes = ranks.nbytes
+    full_matrix_bytes = PB * G * 4
     n_var_eff = sum(layout.class_counts)
     log(f"{PB} probes x {n_var_eff} variants x {G} prints (streamed) in "
         f"{dt:.2f}s -> {pps:.3f} probes/s vs 10k gallery")
+
+    # device ranks == host metrics (the contract ops/topk.ranks_on_device
+    # pins): full-matrix pull happens OUTSIDE the timed loop, in quick mode
+    # always and at full scale behind B10K_CHECK=1 (it is the very pull the
+    # device-rank path exists to avoid)
+    if args.quick or os.environ.get("B10K_CHECK"):
+        from shoeprint_image_retrieval_tpu.metrics import ranks_from_scores
+
+        full = np.asarray(buf[:PB, :G])
+        host_ranks = ranks_from_scores(full, list(range(PB)))
+        assert (ranks == host_ranks).all(), (ranks, host_ranks)
+        log("device ranks == host metrics.ranks_from_scores: ok")
 
     # oracle check on a subsample: per-pair scores match AND each probe's
     # planted true match ranks 1st in the full 10k gallery
@@ -372,9 +403,8 @@ def main() -> None:
         for gi in range(sub_g):
             p_native = bm[gi, :, : bs_h[gi, 0], : bs_h[gi, 1]]
             want[qi, gi] = oracle.pair_similarity(q_native[qi], p_native)
-    got = scores[:sub_q, :sub_g]
-    top1 = np.argmax(scores[:, : n_blocks * BLK], axis=1)
-    top1_ok = (top1 == np.arange(PB)).all()
+    got = np.asarray(buf[:sub_q, :sub_g])
+    top1_ok = (ranks == 1).all()
     if args.sweep:
         # max-over-variants >= the oracle's unrotated-variant score (class 0
         # of the sweep IS the unrotated original); exact per-variant rank
@@ -408,6 +438,8 @@ def main() -> None:
         "block": BLK,
         "variants": sum(layout.class_counts),
         "per_block_cache_gb": round(hbm, 3),
+        "rank_pull_bytes": rank_pull_bytes,
+        "host_path_pull_bytes": full_matrix_bytes,
     }))
 
 

@@ -391,7 +391,206 @@ void clahe_rgb_one(const uint8_t* src, int h, int w, float clip_limit,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Native image decode (JPEG via libjpeg, PNG via libpng) — 8-bit grayscale.
+//
+// The reference's scalable ingest is a 24-process PIL decode pool (reference
+// dataloader.py:135-172); round 3's thread-pool PIL decode (~10 ms/img on
+// this host) capped gallery cache builds near 100 img/s — enough for one
+// chip but not for a v5e-8's data-parallel extraction. This path removes
+// Python from the ingest loop entirely: one `ingest_files` call does
+// fopen -> decode -> crop -> Lanczos resize per file across std::threads,
+// writing straight into caller-provided (numpy) buffers. Grayscale 8-bit
+// JPEG/PNG only — anything else reports a per-file status and the Python
+// loader falls back to PIL for the batch (format zoo stays supported).
+//
+// Compiled only when the system has libjpeg/libpng dev headers
+// (-DSIR_HAVE_CODECS -ljpeg -lpng); data/native_ingest.py probes and
+// rebuilds without them otherwise.
+// ---------------------------------------------------------------------------
+
+#ifdef SIR_HAVE_CODECS
+
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  std::longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
+}
+
+// status: 0 ok, 1 = decode error, 2 = unsupported (non-gray / non-8-bit)
+int decode_gray_jpeg(const uint8_t* data, size_t len,
+                     std::vector<uint8_t>& out, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.num_components != 1 || cinfo.data_precision != 8) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_GRAYSCALE;
+  jpeg_start_decompress(&cinfo);
+  *h = static_cast<int>(cinfo.output_height);
+  *w = static_cast<int>(cinfo.output_width);
+  out.resize(static_cast<size_t>(*h) * *w);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out.data() + static_cast<size_t>(cinfo.output_scanline) * *w;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+struct PngReadState {
+  const uint8_t* data;
+  size_t len;
+  size_t pos;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t count) {
+  auto* s = reinterpret_cast<PngReadState*>(png_get_io_ptr(png));
+  if (s->pos + count > s->len) {
+    png_error(png, "read past end");
+  }
+  std::memcpy(out, s->data + s->pos, count);
+  s->pos += count;
+}
+
+int decode_gray_png(const uint8_t* data, size_t len,
+                    std::vector<uint8_t>& out, int* h, int* w) {
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return 1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return 1;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 1;
+  }
+  PngReadState state{data, len, 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+  const int color = png_get_color_type(png, info);
+  const int depth = png_get_bit_depth(png, info);
+  if (color != PNG_COLOR_TYPE_GRAY || depth > 8) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
+  if (depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  png_set_interlace_handling(png);
+  png_read_update_info(png, info);
+  *h = static_cast<int>(png_get_image_height(png, info));
+  *w = static_cast<int>(png_get_image_width(png, info));
+  out.resize(static_cast<size_t>(*h) * *w);
+  std::vector<png_bytep> rows(*h);
+  for (int y = 0; y < *h; ++y)
+    rows[y] = out.data() + static_cast<size_t>(y) * *w;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+// fopen + decode + crop + resize one file into dst. Returns 0 on success.
+int ingest_one_file(const char* path, int exp_h, int exp_w, int crop_h,
+                    int crop_w, int dst_h, int dst_w, uint8_t* dst) {
+  std::FILE* fh = std::fopen(path, "rb");
+  if (!fh) return 1;
+  std::fseek(fh, 0, SEEK_END);
+  const long fsize = std::ftell(fh);
+  std::fseek(fh, 0, SEEK_SET);
+  if (fsize <= 8) {
+    std::fclose(fh);
+    return 1;
+  }
+  std::vector<uint8_t> data(static_cast<size_t>(fsize));
+  const size_t got = std::fread(data.data(), 1, data.size(), fh);
+  std::fclose(fh);
+  if (got != data.size()) return 1;
+
+  std::vector<uint8_t> gray;
+  int h = 0, w = 0;
+  int rc;
+  if (data[0] == 0xFF && data[1] == 0xD8) {
+    rc = decode_gray_jpeg(data.data(), data.size(), gray, &h, &w);
+  } else if (data[0] == 0x89 && data[1] == 0x50) {
+    rc = decode_gray_png(data.data(), data.size(), gray, &h, &w);
+  } else {
+    return 2;  // unsupported container
+  }
+  if (rc != 0) return rc;
+  // decoded dims must match the caller's header read (dst was sized by it)
+  if (h != exp_h || w != exp_w) return 1;
+  const uint8_t* cropped =
+      gray.data() + static_cast<size_t>(crop_h) * w + crop_w;
+  resize_one(cropped, h - 2 * crop_h, w - 2 * crop_w, w, dst, dst_h, dst_w);
+  return 0;
+}
+
+}  // namespace
+
+#endif  // SIR_HAVE_CODECS
+
 extern "C" {
+
+// 1 when this build can decode JPEG/PNG natively (ingest_files available).
+int sir_has_codecs(void) {
+#ifdef SIR_HAVE_CODECS
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+#ifdef SIR_HAVE_CODECS
+// Full-native batch ingest: per file, fopen -> decode (8-bit gray JPEG/PNG)
+// -> crop -> PIL-exact Lanczos resize into dst[i] (dst_h*dst_w bytes),
+// thread-strided. src_hw carries the caller's header-read dims; crop_hw the
+// floored per-edge crop counts; per-file status written to status[i]
+// (0 ok, 1 decode error, 2 unsupported format). Returns the count of
+// non-zero statuses so the caller can fall back wholesale.
+int ingest_files(const char** paths, const int* src_hw, const int* crop_hw,
+                 const int* dst_hw, uint8_t** dsts, int* status, int n,
+                 int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    workers.emplace_back([=]() {
+      for (int i = t; i < n; i += n_threads) {
+        status[i] = ingest_one_file(
+            paths[i], src_hw[2 * i], src_hw[2 * i + 1], crop_hw[2 * i],
+            crop_hw[2 * i + 1], dst_hw[2 * i], dst_hw[2 * i + 1], dsts[i]);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  int bad = 0;
+  for (int i = 0; i < n; ++i) bad += status[i] != 0;
+  return bad;
+}
+#endif  // SIR_HAVE_CODECS
 
 // Crop + resize one grayscale image. crop_* are pixel counts already
 // floored by the caller (PIL crop-box semantics, reference

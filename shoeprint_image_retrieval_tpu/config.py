@@ -122,6 +122,25 @@ class TpuConfig(TypedDict, total=True):
             ~3e-3 relative, so near-tied ranks can flip vs the f32 path —
             outside the strict rankings-identical contract (BASELINE.md
             "rank stability"); default ``"float32"``.
+        fusion_blocks: multi-layer summed-feature-map fusion scoring
+            (driver config 3; reference scripts/summed_feature_maps.py:1-7
+            is the single-layer per-channel sum this generalizes). A list
+            of truncation blocks, e.g. ``[6, 4]``: each cluster is scored
+            once per block at its planned scale and the score matrices are
+            summed before ranking (score-level fusion — different blocks'
+            correlation grids have different strides, so a pre-max map sum
+            is not well defined across layers). Empty (default) = the
+            reference's single-block scoring.
+        rank_on_device: keep each cluster's score matrix ON DEVICE and
+            compute true-match ranks there (ops/topk.ranks_on_device) — the
+            host pulls Q int32 ranks instead of the O(Q*G) score matrix
+            (the north star's "on-device top-k"; the reference argsorts on
+            host, similarity.py:381). Identical ranks to the host path for
+            untied true-match scores; under an EXACT tie the deterministic
+            device convention applies (see DeviceScores). Ignored when
+            combined with ``fusion_blocks`` (fusion sums host matrices) and
+            by the "fft" backend. Default false (the host path is the
+            reference-exact semantics).
     """
 
     mesh_shape: int
@@ -136,6 +155,8 @@ class TpuConfig(TypedDict, total=True):
     clahe_host: bool
     prewarm: bool
     cache_dtype: str
+    fusion_blocks: list
+    rank_on_device: bool
 
 
 class Config(TypedDict, total=True):
@@ -160,6 +181,8 @@ _TPU_DEFAULTS: TpuConfig = {
     "clahe_host": True,
     "prewarm": True,
     "cache_dtype": "float32",
+    "fusion_blocks": [],
+    "rank_on_device": False,
 }
 
 

@@ -62,18 +62,41 @@ def load_images(
     directory = Path(directory)
     from . import native_ingest
 
+    def plan(h: int, w: int) -> tuple[tuple[int, int], tuple[int, int]]:
+        """Reference crop/resize arithmetic from source dims
+        (reference dataloader.py:218-237)."""
+        ch = math.floor(h * crop[0])
+        cw = math.floor(w * crop[1])
+        return (ch, cw), (int((h - 2 * ch) * scale), int((w - 2 * cw) * scale))
+
+    if use_native and native_ingest.decode_available():
+        # FULL-native tier: header-only reads here, then ONE C call does
+        # fopen + decode + crop + Lanczos resize across native threads —
+        # Python never enters the pixel path (multi-chip ingest scale-out;
+        # the reference forks 24 PIL processes instead, dataloader.py:135-172)
+        hdr = []
+        for f in files:
+            with Image.open(directory / f) as im:
+                hdr.append((im.height, im.width))
+        plans = [plan(h, w) for h, w in hdr]
+        out = native_ingest.ingest_files(
+            [directory / f for f in files], hdr,
+            [p[0] for p in plans], [p[1] for p in plans], n_threads,
+        )
+        if out is not None:
+            return out
+        # any unsupported file (color, 16-bit, exotic container) falls the
+        # whole batch back to PIL below — format zoo stays supported
+
     if use_native and native_ingest.available():
         with ThreadPoolExecutor(max_workers=max(1, n_threads)) as pool:
             decoded = list(pool.map(lambda f: np.asarray(Image.open(directory / f)), files))
         if all(d.dtype == np.uint8 and d.ndim == 2 for d in decoded):
             crops, outs = [], []
             for d in decoded:
-                ch = math.floor(d.shape[0] * crop[0])
-                cw = math.floor(d.shape[1] * crop[1])
+                (ch, cw), o = plan(d.shape[0], d.shape[1])
                 crops.append((ch, cw))
-                outs.append(
-                    (int((d.shape[0] - 2 * ch) * scale), int((d.shape[1] - 2 * cw) * scale))
-                )
+                outs.append(o)
             return native_ingest.crop_resize_batch(decoded, crops, outs, n_threads)
 
     with ThreadPoolExecutor(max_workers=max(1, n_threads)) as pool:

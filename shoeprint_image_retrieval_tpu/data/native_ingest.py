@@ -31,14 +31,21 @@ def _load() -> ctypes.CDLL | None:
             return _lib
         try:
             if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-                subprocess.run(
-                    # -ffp-contract=off: the CLAHE interpolation must round
-                    # exactly as separate f32 mult+add (FMA contraction can
-                    # flip half-way cases vs cv2/the jnp kernel)
-                    ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
-                     "-o", str(_SO), str(_SRC), "-lpthread"],
-                    check=True, capture_output=True,
-                )
+                # -ffp-contract=off: the CLAHE interpolation must round
+                # exactly as separate f32 mult+add (FMA contraction can
+                # flip half-way cases vs cv2/the jnp kernel).
+                base = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                        "-o", str(_SO), str(_SRC), "-lpthread"]
+                try:
+                    # native JPEG/PNG decode when the system has the codec
+                    # dev libraries; ingest then never enters Python
+                    subprocess.run(
+                        base[:1] + ["-DSIR_HAVE_CODECS"] + base[1:]
+                        + ["-ljpeg", "-lpng"],
+                        check=True, capture_output=True,
+                    )
+                except Exception:
+                    subprocess.run(base, check=True, capture_output=True)
             lib = ctypes.CDLL(str(_SO))
             lib.ingest_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_void_p),
@@ -61,6 +68,19 @@ def _load() -> ctypes.CDLL | None:
             ]
             lib.clahe_batch.argtypes = clahe_sig
             lib.clahe_rgb_batch.argtypes = clahe_sig
+            lib.sir_has_codecs.restype = ctypes.c_int
+            if lib.sir_has_codecs():
+                lib.ingest_files.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                ]
+                lib.ingest_files.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _failed = True
@@ -69,6 +89,56 @@ def _load() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return _load() is not None
+
+
+def decode_available() -> bool:
+    """True when the library was built with native JPEG/PNG decode."""
+    lib = _load()
+    return lib is not None and bool(lib.sir_has_codecs())
+
+
+def ingest_files(
+    paths: Sequence[str],
+    src_hw: Sequence[tuple[int, int]],
+    crops: Sequence[tuple[int, int]],
+    out_sizes: Sequence[tuple[int, int]],
+    n_threads: int = 8,
+) -> list[np.ndarray] | None:
+    """Full-native batch ingest: decode (8-bit gray JPEG/PNG) + crop +
+    PIL-exact Lanczos resize, one C call, thread-strided — Python never
+    touches the pixel path (VERDICT r3 item 6: ingest scale-out for
+    multi-chip extraction; reference dataloader.py:135-172 forks 24 PIL
+    processes for the same job).
+
+    Args:
+        paths: image file paths.
+        src_hw: per-file (h, w) from a header read — the decode validates
+            against it (the dst buffers are sized from it).
+        crops: per-file (crop_h, crop_w) pixel counts per edge.
+        out_sizes: per-file (out_h, out_w).
+
+    Returns:
+        list of (out_h, out_w) uint8 arrays, or ``None`` when any file needs
+        the PIL fallback (unsupported format/bit depth/color, decode error —
+        per-file status from the C side); the caller then ingests the whole
+        batch through PIL, which surfaces real decode errors with filenames.
+    """
+    lib = _load()
+    if lib is None or not lib.sir_has_codecs():
+        return None
+    n = len(paths)
+    dsts = [np.empty(hw, np.uint8) for hw in out_sizes]
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    c_src = (ctypes.c_int * (2 * n))(*[v for hw in src_hw for v in hw])
+    c_crop = (ctypes.c_int * (2 * n))(*[v for c in crops for v in c])
+    c_dst = (ctypes.c_int * (2 * n))(*[v for hw in out_sizes for v in hw])
+    dst_ptrs = (ctypes.c_void_p * n)(*[d.ctypes.data for d in dsts])
+    status = (ctypes.c_int * n)()
+    bad = lib.ingest_files(c_paths, c_src, c_crop, c_dst, dst_ptrs, status,
+                           n, n_threads)
+    if bad:
+        return None
+    return dsts
 
 
 def crop_resize_batch(

@@ -76,26 +76,40 @@ def _wrap_shard_scorer(local, mesh, in_specs, g_true: int | None):
     return score_impl
 
 
+# one jitted impl per (mesh, statics) — the engine's FFT gallery-block loop
+# creates a scorer per block and must reuse one compiled program across
+# equal-shaped blocks (same rationale as _packed_scorer_impls below)
+_fft_scorer_impls: OrderedDict = OrderedDict()
+
+
 def make_sharded_scorer(mesh, sharded_cache: GalleryCache, *, true_channels: int,
                         channel_block: int = 16, g_true: int | None = None):
     """Jitted (templates, tvalid) -> (V, G) scorer over the mesh."""
+    key = (mesh, true_channels, channel_block, g_true)
+    score_impl = _fft_scorer_impls.get(key)
+    if score_impl is None:
 
-    def local(phat, int1, int2, gvalid, templates, tvalid):
-        local_cache = GalleryCache(phat, int1, int2, gvalid)
-        s = score_templates(
-            local_cache, templates, tvalid,
-            true_channels=true_channels, channel_block=channel_block,
+        def local(phat, int1, int2, gvalid, templates, tvalid):
+            local_cache = GalleryCache(phat, int1, int2, gvalid)
+            s = score_templates(
+                local_cache, templates, tvalid,
+                true_channels=true_channels, channel_block=channel_block,
+            )
+            return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
+
+        score_impl = _wrap_shard_scorer(
+            local, mesh,
+            (
+                P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
+                P(GALLERY_AXIS), P(), P(),
+            ),
+            g_true,
         )
-        return jax.lax.all_gather(s, GALLERY_AXIS, axis=1, tiled=True)
-
-    score_impl = _wrap_shard_scorer(
-        local, mesh,
-        (
-            P(None, GALLERY_AXIS), P(None, GALLERY_AXIS), P(None, GALLERY_AXIS),
-            P(GALLERY_AXIS), P(), P(),
-        ),
-        g_true,
-    )
+        _fft_scorer_impls[key] = score_impl
+        while len(_fft_scorer_impls) > _PACKED_SCORER_MEMO_MAX:
+            _fft_scorer_impls.popitem(last=False)
+    else:
+        _fft_scorer_impls.move_to_end(key)
 
     def score(templates, tvalid):
         return score_impl(

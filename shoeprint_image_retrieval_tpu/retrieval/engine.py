@@ -62,6 +62,7 @@ from ..parallel.mesh import GALLERY_AXIS, build_mesh
 from ..parallel.sharded import (
     make_sharded_packed_builder,
     make_sharded_packed_scorer,
+    make_sharded_scorer,
     shard_cache,
 )
 from ..ops.preprocess import normalize_batch
@@ -77,6 +78,51 @@ class ClusterOutput:
     n_queries: int
     block: int
     scale: float
+
+
+@dataclass
+class DeviceScores:
+    """A cluster's score matrix left ON DEVICE (``tpu.rank_on_device``).
+
+    ``buf`` holds (q_pad, g_pad) f32 with gallery columns in the engine's
+    height-sorted order; true-match ranks are computed on device
+    (ops/topk.ranks_on_device) so the only host pull is Q int32s — not the
+    O(Q*G) score bytes the host argsort path needs (reference
+    similarity.py:381 pulls and argsorts everything). Tie convention: under
+    an EXACT true-match score tie, tied columns count in the height-sorted
+    column order rather than the original gallery order (documented
+    divergence; untied scores — every realistic gallery — rank identically
+    to metrics.ranks_from_scores, tests/test_topk.py).
+    """
+
+    buf: object  # device (q_pad, g_pad) f32
+    inv_order: np.ndarray  # original gallery index -> sorted column
+    n_q: int
+    g_total: int
+
+    def ranks(self, matching_pairs) -> np.ndarray:
+        from ..ops.topk import ranks_on_device
+
+        sorted_pairs = self.inv_order[np.asarray(matching_pairs)]
+        return np.asarray(
+            jax.jit(ranks_on_device)(
+                self.buf[: self.n_q, : self.g_total],
+                jnp.asarray(sorted_pairs.astype(np.int32)),
+            )
+        )
+
+    def materialize(self) -> np.ndarray:
+        """Pull the full matrix in ORIGINAL gallery order (fusion summing
+        and any caller that needs scores, not ranks) — the same
+        ``out[:, inv_order]`` un-permutation the host path applies."""
+        return np.asarray(self.buf[: self.n_q, : self.g_total])[:, self.inv_order]
+
+
+# device-side score accumulation for rank_on_device: donated buffer, one
+# dynamic_update_slice per (gallery block x probe batch) score tile
+@partial(jax.jit, donate_argnums=0)
+def _acc_scores(buf, rows, lo_q, lo_g):
+    return jax.lax.dynamic_update_slice(buf, rows, (lo_q, lo_g))
 
 
 class Pipeline:
@@ -880,7 +926,14 @@ class Pipeline:
         # variant stack against the local shard, all-gathering score rows
         # over ICI (SURVEY.md section 2.4; tpu.mesh_shape, 0 = all devices).
         # The sharded path runs the SAME backend kernel per shard.
-        mesh = build_mesh(mesh_size) if mesh_size > 1 else None
+        # SIR_FORCE_SHARDED=1 routes a 1-device run through the sharded code
+        # path (shard_map + all_gather at mesh=1) — bench.py --engine uses
+        # it to measure the production mesh path's overhead on the real chip
+        # (BASELINE.md projection section).
+        force_sharded = bool(os.environ.get("SIR_FORCE_SHARDED"))
+        mesh = (
+            build_mesh(mesh_size) if (mesh_size > 1 or force_sharded) else None
+        )
         build_fn = build_packed_j
         if mesh is not None and pb % mesh_size == 0:
             # probe-sharded stack build: the per-batch variant construction
@@ -970,8 +1023,19 @@ class Pipeline:
         # rows are pulled two submissions behind the enqueue front, so the
         # host round-trip (large over the axon tunnel) and the next batch's
         # variant build overlap the kernel instead of serializing with it.
+        # tpu.rank_on_device: score tiles accumulate into a device-resident
+        # buffer instead (DeviceScores) — ranks are computed on device and
+        # only Q int32s cross the host link; a 4-byte scalar pull keeps the
+        # same 2-deep pacing.
+        rank_dev = (
+            bool(self.config["tpu"].get("rank_on_device")) and not prewarm
+        )
         out = np.zeros((len(q_maps), g_total), np.float32)
-        pending: list[tuple[int, int, int, object]] = []
+        buf = (
+            jnp.zeros((starts[-1] + pb, n_blocks * gb), jnp.float32)
+            if rank_dev else None
+        )
+        pending: list = []
 
         def drain(limit: int) -> None:
             while len(pending) > limit:
@@ -1071,11 +1135,21 @@ class Pipeline:
                     dev_rows = score_batch(
                         cache, *build_args(lo, wins_d), slot_hw_d, smap_d, epi_d
                     )
-                pending.append((lo, b_lo, b_hi, dev_rows))
-                drain(2)
+                if rank_dev:
+                    buf = _acc_scores(buf, dev_rows, lo, b_lo)
+                    pending.append(dev_rows)
+                    if len(pending) > 2:
+                        # pace only: 4 bytes, synchronizes on that call
+                        np.asarray(pending.pop(0)[:1, :1])
+                else:
+                    pending.append((lo, b_lo, b_hi, dev_rows))
+                    drain(2)
             # retire this block's device arrays once its scores are enqueued
             cache = None
             gops = None
+        if rank_dev:
+            pending.clear()
+            return DeviceScores(buf, inv_order, len(q_maps), g_total)
         drain(0)
         return out[:, inv_order]
 
@@ -1087,20 +1161,33 @@ class Pipeline:
 
         Builds the raw (unfolded) variant stack on device and scores it with
         :func:`~..ops.ncc.score_templates` against the FFT gallery cache.
+        Honors the same ``tpu.mesh_shape`` (gallery-sharded
+        :func:`~..parallel.sharded.make_sharded_scorer` over ICI) and
+        explicit ``tpu.gallery_block`` settings as the direct/pallas paths —
+        round 3 silently ran single-device/one-shot on those configs
+        (VERDICT r3 weak #3).
         """
         true_c = q_maps.shape[1]
         hc, wc = q_maps.shape[2], q_maps.shape[3]
         kernel_hw = (tc[0] - 2 * EDGE_CROP, tc[1] - 2 * EDGE_CROP)
         include_rots_unscaled = bool(mode == "full" or (n_rot and not n_scl))
         b0 = 1 + n_rot if include_rots_unscaled else 1
-        n_var = b0 + (1 + n_rot) * n_scl
 
-        cache, _ = jax.jit(
+        g_total = len(g_maps)
+        mesh_size = self._mesh_size()
+        mesh = build_mesh(mesh_size) if mesh_size > 1 else None
+        # 0 = auto keeps the one-shot cache (the FFT cache is smaller than
+        # the direct cache; users bound it explicitly for huge galleries)
+        gb = self.config["tpu"].get("gallery_block", 0) or g_total
+        gb = min(gb, g_total)
+        if mesh is not None:
+            gb = -(-gb // mesh_size) * mesh_size
+
+        build_cache_j = jax.jit(
             partial(build_gallery_cache, template_canvas_hw=kernel_hw)
-        )(jnp.asarray(g_maps), jnp.asarray(g_valid))
+        )
 
-        @jax.jit
-        def score_one(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
+        def templates_fn(maps, valid, ridx, rok, wvq, whq, shw, c_pad):
             flat = maps.reshape(true_c, hc * wc)
             rot = jnp.take(flat, ridx, axis=1)
             rot = jnp.moveaxis(rot, 0, 1).reshape(-1, true_c, hc, wc)
@@ -1115,12 +1202,17 @@ class Pipeline:
                 stacks.append(scaled.reshape(-1, true_c, tc[0], tc[1]))
                 tvalid.append(jnp.repeat(shw, 1 + n_rot, axis=0))
             templates = jnp.concatenate(stacks)
-            c_pad = cache_arg.phat.shape[0]  # cache pads channels; match it
-            if c_pad != true_c:
+            if c_pad != true_c:  # cache pads channels; match it
                 templates = jnp.pad(
                     templates, ((0, 0), (0, c_pad - true_c), (0, 0), (0, 0))
                 )
-            tv = jnp.concatenate(tvalid)
+            return templates, jnp.concatenate(tvalid)
+
+        @jax.jit
+        def score_one(cache_arg, maps, valid, ridx, rok, wvq, whq, shw):
+            templates, tv = templates_fn(
+                maps, valid, ridx, rok, wvq, whq, shw, cache_arg.phat.shape[0]
+            )
             scores = score_templates(
                 cache_arg, templates, tv, true_channels=true_c
             )  # (V, G)
@@ -1128,19 +1220,47 @@ class Pipeline:
             # similarity.py:355-367) — see regroup_max in _scorer_bundle
             return jnp.maximum(jnp.max(scores, axis=0), 0.0)
 
-        out = np.zeros((len(q_maps), len(g_maps)), np.float32)
-        for qi in range(len(q_maps)):
-            out[qi] = np.asarray(
-                score_one(
-                    cache,
+        out = np.zeros((len(q_maps), g_total), np.float32)
+        templates_jits: dict[int, object] = {}  # c_pad -> jit (one per cluster)
+        for b_lo in range(0, g_total, gb):
+            b_hi = min(b_lo + gb, g_total)
+            blk = np.asarray(g_maps[b_lo:b_hi])
+            blk_valid = np.asarray(g_valid[b_lo:b_hi])
+            if b_hi - b_lo < gb:  # pad the tail block: one compiled shape
+                pad = gb - (b_hi - b_lo)
+                blk = np.concatenate([blk, np.zeros((pad, *blk.shape[1:]), blk.dtype)])
+                blk_valid = np.concatenate(
+                    [blk_valid, np.full((pad, 2), 2 * EDGE_CROP + 8, blk_valid.dtype)]
+                )
+            cache, _ = build_cache_j(jnp.asarray(blk), jnp.asarray(blk_valid))
+            scorer_m = None
+            if mesh is not None:
+                sharded, g_pad_true = shard_cache(cache, mesh)
+                scorer_m = make_sharded_scorer(
+                    mesh, sharded, true_channels=true_c, g_true=g_pad_true
+                )
+                c_pad = cache.phat.shape[0]
+                if c_pad not in templates_jits:
+                    templates_jits[c_pad] = jax.jit(
+                        partial(templates_fn, c_pad=c_pad)
+                    )
+                templates_j = templates_jits[c_pad]
+            for qi in range(len(q_maps)):
+                args = (
                     jnp.asarray(q_maps[qi]), jnp.asarray(q_valid[qi]),
                     jnp.asarray(rot_idx[qi]), jnp.asarray(rot_ok[qi]),
                     jnp.asarray(wv[qi]), jnp.asarray(wh[qi]),
                     jnp.asarray(scale_hw[qi]),
                 )
-            )
-            if self.verbose and (qi + 1) % 10 == 0:
-                print(f"  scored {qi + 1}/{len(q_maps)} queries")
+                if scorer_m is not None:
+                    templates, tv = templates_j(*args)
+                    rows = np.asarray(scorer_m(templates, tv))  # (V, gb)
+                    row = np.maximum(rows.max(axis=0), 0.0)
+                else:
+                    row = np.asarray(score_one(cache, *args))
+                out[qi, b_lo:b_hi] = row[: b_hi - b_lo]
+                if self.verbose and (qi + 1) % 10 == 0 and b_hi == g_total:
+                    print(f"  scored {qi + 1}/{len(q_maps)} queries")
         return out
 
     # ------------------------------------------------------------------
@@ -1271,9 +1391,12 @@ class Pipeline:
             print("  (prewarm: extraction + scoring executables compiled)")
 
     def _spawn_prewarm(self, plan) -> None:
+        # meshes prewarm too (VERDICT r3 item 5): the score gate serializes
+        # the dummy device pass against real scoring, and the sharded
+        # scorer/builder executables are memoized by signature, so a real
+        # v5e-8 run overlaps its compile walls exactly like a single chip
         if not (
             self.config["tpu"].get("prewarm", True)
-            and self._mesh_size() == 1
             and self._resolve_backend() != "fft"
         ) or self._shutdown.is_set():
             return
@@ -1291,6 +1414,56 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def run_cluster(self, plan, next_plan=None) -> ClusterOutput:
+        """Score one cluster and rank (the reference's run.py:17-34 body).
+
+        ``tpu.fusion_blocks`` (driver config 3, "multi-layer summed-feature-
+        map fusion scoring"): when set, the cluster is scored once per
+        listed truncation block at the cluster's planned scale and the
+        score matrices are SUMMED before ranking. The reference's
+        scripts/summed_feature_maps.py:1-7 sums per-channel NCC maps within
+        one layer; the multi-layer analog fuses at the score level (max
+        over shifts per layer, then sum across layers) because different
+        truncation blocks emit different-stride correlation grids whose
+        shift axes do not align for a pre-max map sum. Algorithm 1's joint
+        (scale, block) choice is overridden for the listed blocks — the
+        cluster keeps its planned scale.
+        """
+        fusion = list(self.config["tpu"].get("fusion_blocks") or [])
+        if fusion:
+            from dataclasses import replace
+
+            scores = None
+            for fb in fusion:
+                plan_b = replace(plan, block=fb)
+                s, q_files = self._cluster_scores(plan_b, next_plan=None)
+                if isinstance(s, DeviceScores):
+                    # fusion sums matrices on host; rank_on_device's O(Q)
+                    # pull does not compose with it (documented in config)
+                    s = s.materialize()
+                scores = s if scores is None else scores + s
+        else:
+            scores, q_files = self._cluster_scores(plan, next_plan)
+        pairs = self.dataset.matching_pairs(q_files)
+        ranks = (
+            scores.ranks(pairs)
+            if isinstance(scores, DeviceScores)
+            else ranks_from_scores(scores, pairs)
+        )
+        if self.verbose:
+            # per-query rank lines (reference similarity.py:375), labeled by
+            # the shoemark id parsed from the filename — unambiguous across
+            # clusters, unlike a bare positional index
+            from ..data.discovery import parse_image_id
+
+            for qf, rank in zip(q_files, ranks):
+                print(f"Print {parse_image_id(qf, self.dataset.type)} "
+                      f"true match ranked {rank}")
+        return ClusterOutput(ranks, pairs, len(q_files), plan.block, plan.scale)
+
+    def _cluster_scores(self, plan, next_plan=None):
+        """(scores, q_files) for one (cluster, block): ingest -> extract ->
+        score — the shared body run_cluster drives once (or once per fusion
+        block)."""
         self._spawn_prewarm(plan)
         crop = self.config["dataset"]["crop"]
         n_threads = self.config["dataset"]["n_processes"]
@@ -1352,18 +1525,7 @@ class Pipeline:
             self._spawn_prewarm(next_plan)
         with stage_timer("score", self.verbose):
             scores = self._score_cluster(q_maps, q_valid, g_maps, g_valid)
-        pairs = self.dataset.matching_pairs(q_files)
-        ranks = ranks_from_scores(scores, pairs)
-        if self.verbose:
-            # per-query rank lines (reference similarity.py:375), labeled by
-            # the shoemark id parsed from the filename — unambiguous across
-            # clusters, unlike a bare positional index
-            from ..data.discovery import parse_image_id
-
-            for qf, rank in zip(q_files, ranks):
-                print(f"Print {parse_image_id(qf, self.dataset.type)} "
-                      f"true match ranked {rank}")
-        return ClusterOutput(ranks, pairs, len(q_files), plan.block, plan.scale)
+        return scores, q_files
 
     def close(self) -> None:
         """Retire outstanding prewarm threads.

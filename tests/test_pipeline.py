@@ -416,3 +416,58 @@ def test_quick_start_dataset_guard(tmp_path, monkeypatch, capsys):
     cfg2 = {"dataset": {"dir": str(target)}}
     run_mod._ensure_dataset(cfg2)
     assert calls and str(calls[0]) == str(target)
+
+
+def test_prewarm_under_mesh_matches_control(dataset, tmp_path):
+    """tpu.prewarm on a mesh (VERDICT r3 item 5): round 3 disabled prewarm
+    whenever mesh_shape > 1, paying every compile wall serially on real
+    multi-chip runs. The lifted guard must (a) leave mesh rankings
+    untouched, (b) predict the mesh scoring signature exactly (one
+    signature per cluster in ``_warmed``), and (c) reproduce the
+    single-device control rankings."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        RUN_TOML.format(dir=str(dataset)) + "mesh_shape = 2\nprewarm = true\n"
+    )
+    pipe = Pipeline(load_config(cfg_path), weights_dir=None, verbose=False)
+    ranks = [o.ranks.tolist() for o in pipe.run()]
+    for t in pipe._prewarm_threads:
+        t.join(timeout=240)
+    assert len(pipe._warmed) == len(pipe.plans), pipe._warmed
+
+    cfg2 = tmp_path / "run_off.toml"
+    cfg2.write_text(
+        RUN_TOML.format(dir=str(dataset)) + "mesh_shape = 1\nprewarm = false\n"
+    )
+    control = [
+        o.ranks.tolist()
+        for o in Pipeline(load_config(cfg2), weights_dir=None, verbose=False).run()
+    ]
+    assert ranks == control
+
+
+def test_fusion_blocks_scoring(dataset, tmp_path):
+    """tpu.fusion_blocks (driver config 3): fused ranks == ranks of the SUM
+    of the per-block production score matrices (score-level fusion of the
+    summed-feature-map scoring across truncation blocks; reference
+    scripts/summed_feature_maps.py:1-7 is the single-layer form)."""
+    from dataclasses import replace
+
+    from shoeprint_image_retrieval_tpu.metrics import ranks_from_scores
+
+    base = RUN_TOML.format(dir=str(dataset)).replace("[9, 180]", '""').replace(
+        "[1.04]", '""'
+    )
+    cfg_f = tmp_path / "fusion.toml"
+    cfg_f.write_text(base + "fusion_blocks = [5, 4]\nprewarm = false\n")
+    pipe_f = Pipeline(load_config(cfg_f), weights_dir=None, verbose=False)
+    fused = list(pipe_f.run())
+
+    cfg_c = tmp_path / "control.toml"
+    cfg_c.write_text(base + "prewarm = false\n")
+    pipe_c = Pipeline(load_config(cfg_c), weights_dir=None, verbose=False)
+    for out, plan in zip(fused, pipe_c.plans):
+        s5, q_files = pipe_c._cluster_scores(replace(plan, block=5))
+        s4, _ = pipe_c._cluster_scores(replace(plan, block=4))
+        want = ranks_from_scores(s5 + s4, pipe_c.dataset.matching_pairs(q_files))
+        np.testing.assert_array_equal(out.ranks, want)
