@@ -101,12 +101,28 @@ probe_batch = {PB}
     log(f"engine mode: Pipeline._score_cluster, PB={PB}, "
         f"{'sharded-at-1 (shard_map)' if sharded else 'single-device'} path")
 
+    # device-resident maps, as production extraction hands them to scoring
+    # (engine _device_maps_budget); BENCH_ENGINE_HOST=1 times the host-map
+    # path instead — the round-3 behavior whose per-call re-upload measured
+    # 2.8 probes/s over the axon tunnel
+    import jax.numpy as jnp
+
+    if os.environ.get("BENCH_ENGINE_HOST"):
+        q_in, g_in = qmaps, gal
+        log("engine mode: HOST-resident maps (re-upload per score call)")
+    else:
+        q_in = jnp.asarray(qmaps)
+        g_in = jnp.asarray(gal)
+        import jax
+
+        jax.block_until_ready(g_in)
+
     t0 = _time.perf_counter()
-    scores = pipe._score_cluster(qmaps, q_sizes, gal, g_sizes)
+    scores = pipe._score_cluster(q_in, q_sizes, g_in, g_sizes)
     log(f"compile+warmup: {_time.perf_counter() - t0:.2f}s")
 
     t0 = _time.perf_counter()
-    scores = pipe._score_cluster(qmaps, q_sizes, gal, g_sizes)
+    scores = pipe._score_cluster(q_in, q_sizes, g_in, g_sizes)
     dt = _time.perf_counter() - t0
     pps = len(qmaps) / dt
     log(f"{len(qmaps)} probes x {gal.shape[0]} prints through the ENGINE in "

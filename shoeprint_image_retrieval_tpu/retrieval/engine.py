@@ -125,6 +125,27 @@ def _acc_scores(buf, rows, lo_q, lo_g):
     return jax.lax.dynamic_update_slice(buf, rows, (lo_q, lo_g))
 
 
+def _device_maps_budget() -> int:
+    """Max bytes of extracted feature maps kept DEVICE-resident end to end.
+
+    Round 3 pulled every extracted map to host and re-uploaded it for
+    scoring — measured on the real chip via ``bench.py --engine``, the
+    round-trip capped the production engine at 2.8 probes/s against the
+    18.7 probes/s kernel (the gallery maps alone are ~450 MB at WVU scale,
+    brutal over the axon tunnel and a pointless HBM->host->HBM bounce on
+    any host). Under this budget the maps stay on device from the
+    extraction step into the scoring kernels; above it (10k-print-scale
+    galleries that cannot fit HBM anyway) the host-streaming path is kept.
+    """
+    return int(os.environ.get("SIR_DEVICE_MAPS_MAX", str(int(2e9))))
+
+
+# height-sort gallery maps on device (the host path indexes numpy instead)
+@jax.jit
+def _sort_take(maps, order):
+    return jnp.take(maps, order, axis=0)
+
+
 class Pipeline:
     """End-to-end retrieval for one config (the reference's run.py loop)."""
 
@@ -334,7 +355,11 @@ class Pipeline:
                 )
                 for j, i in enumerate(idx):
                     maps[i], valids[i] = m[j], v[j]
-            return np.stack(maps), np.stack(valids)
+            stack = (
+                jnp.stack if any(isinstance(x, jax.Array) for x in maps)
+                else np.stack
+            )
+            return stack(maps), np.stack(valids)
         batch_u8, valid = pack_canvas(images, canvas_hw=canvas_hw)
         bs = max(1, self.config["tpu"]["extraction_batch"])
         mesh_size = self._mesh_size()
@@ -343,6 +368,7 @@ class Pipeline:
             bs = -(-bs // mesh_size) * mesh_size  # chunk divisible by the mesh
             shard = NamedSharding(build_mesh(mesh_size), P(GALLERY_AXIS))
         outs, vouts = [], []
+        keep_device = None  # decided from the first chunk's output size
         for i in range(0, len(images), bs):
             chunk = batch_u8[i : i + bs]
             vchunk = valid[i : i + bs]
@@ -354,9 +380,21 @@ class Pipeline:
             if shard is not None:
                 cd, vd = jax.device_put(cd, shard), jax.device_put(vd, shard)
             y, vy = step(params, cd, vd)
-            outs.append(np.asarray(y)[: len(images) - i if pad else bs])
-            vouts.append(np.asarray(vy)[: len(images) - i if pad else bs])
-        return np.concatenate(outs), np.concatenate(vouts)
+            n_take = len(images) - i if pad else bs
+            if keep_device is None:
+                # device-resident maps (no host round-trip into scoring)
+                # when the whole set fits the budget — see _device_maps_budget
+                per_img = y.nbytes // max(1, y.shape[0])
+                keep_device = per_img * len(images) <= _device_maps_budget()
+            # the valid pull doubles as backpressure (vy finishing implies
+            # this chunk's maps are materialized on device)
+            vouts.append(np.asarray(vy)[:n_take])
+            outs.append(y[:n_take] if keep_device else np.asarray(y)[:n_take])
+        maps = (
+            (jnp.concatenate(outs) if len(outs) > 1 else outs[0])
+            if keep_device else np.concatenate(outs)
+        )
+        return maps, np.concatenate(vouts)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -461,6 +499,7 @@ class Pipeline:
 
         chunks = [files[i : i + bs] for i in range(0, len(files), bs)]
         outs_maps, outs_valid = [], []
+        keep_device = None
         with ThreadPoolExecutor(max_workers=1) as pool:
             futs: list = []  # lookahead 2: bounds host memory to ~2 chunks
             pending: list[tuple[object, object, int]] = []
@@ -468,8 +507,10 @@ class Pipeline:
             def drain(limit: int) -> None:
                 while len(pending) > limit:
                     y, vy, n = pending.pop(0)
-                    outs_maps.append(np.asarray(y)[:n])
+                    # valid pull = backpressure; maps stay on device under
+                    # the budget (see _extract / _device_maps_budget)
                     outs_valid.append(np.asarray(vy)[:n])
+                    outs_maps.append(y[:n] if keep_device else np.asarray(y)[:n])
 
             for ci, chunk_files in enumerate(chunks):
                 while len(futs) < min(2, len(chunks) - ci):
@@ -479,14 +520,41 @@ class Pipeline:
                 if shard is not None:
                     cd, vd = jax.device_put(cd, shard), jax.device_put(vd, shard)
                 y, vy = step(params, cd, vd)
+                if keep_device is None:
+                    per_img = y.nbytes // max(1, y.shape[0])
+                    keep_device = per_img * len(files) <= _device_maps_budget()
                 pending.append((y, vy, len(chunk_files)))
                 drain(1)  # lag one chunk: device runs while the next preps
             drain(0)
-        return np.concatenate(outs_maps), np.concatenate(outs_valid)
+        maps = (
+            (jnp.concatenate(outs_maps) if len(outs_maps) > 1 else outs_maps[0])
+            if keep_device else np.concatenate(outs_maps)
+        )
+        return maps, np.concatenate(outs_valid)
 
     # ------------------------------------------------------------------
     def _variant_plan(self, q_valid: np.ndarray, feat_canvas: tuple[int, int]):
-        """Host-side PIL-exact transform plans for every query's variants."""
+        """Host-side PIL-exact transform plans for every query's variants.
+
+        Memoized on (q_valid, canvas): the plan is pure host numpy (~0.7 s
+        at 168 probes x the reference sweep on this host) and is derived
+        twice per cluster — once by the prewarm pass and once by the real
+        scoring call — from identical inputs.
+        """
+        q_valid = np.asarray(q_valid)
+        memo_key = (q_valid.tobytes(), q_valid.shape, feat_canvas)
+        if not hasattr(self, "_variant_plan_memo"):
+            self._variant_plan_memo = {}
+        hit = self._variant_plan_memo.get(memo_key)
+        if hit is not None:
+            return hit
+        out = self._variant_plan_impl(q_valid, feat_canvas)
+        if len(self._variant_plan_memo) >= 4:  # bounded: plans are ~MBs
+            self._variant_plan_memo.pop(next(iter(self._variant_plan_memo)))
+        self._variant_plan_memo[memo_key] = out
+        return out
+
+    def _variant_plan_impl(self, q_valid: np.ndarray, feat_canvas: tuple[int, int]):
         comp = self.config["comparison"]
         rotations = comp["rotations"]
         scales = comp["scales"]
@@ -800,6 +868,10 @@ class Pipeline:
         gal_wb = g_maps.shape[3] - 2 * EDGE_CROP
         g_total = len(g_maps)
         mesh_size = self._mesh_size()
+        # SIR_FORCE_SHARDED=1: route a 1-device run through the sharded
+        # code path (bench.py --engine's A/B hook); affects the auto
+        # gallery-block margin below and the mesh construction later
+        force_sharded = bool(os.environ.get("SIR_FORCE_SHARDED"))
         gt_pack = max(1, min(4, 128 // max(1, gal_wb)))
         # cluster-wide distinct post-crop window sizes: an upper bound on
         # any probe batch's energy-slot count, fed to the VMEM solver (the
@@ -858,9 +930,16 @@ class Pipeline:
             resident = min(
                 n_starts_est, max(1, int(6e9 // max(1, stack_b)))
             ) * stack_b
+            # the mesh path holds a sharded COPY of each block's cache while
+            # its per-shard operands pack (plus the replicated builder
+            # stacks) — widen the safety margin so auto-blocking accounts
+            # for it (the forced-sharded-at-1 engine bench OOMed a 16 GB
+            # part at a block the single-device model said fits)
+            mesh_extra = int(2.5e9) if (mesh_size > 1 or force_sharded) else 0
             gb_cfg = auto_gallery_block(
                 gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
                 c_pad=c_pad8, resident_bytes=resident, gt=gt_pack,
+                safety_bytes=int(2.0e9) + mesh_extra,
             )
         gb_cfg = min(gb_cfg, g_total)
         if mesh_size > 1:
@@ -930,7 +1009,6 @@ class Pipeline:
         # path (shard_map + all_gather at mesh=1) — bench.py --engine uses
         # it to measure the production mesh path's overhead on the real chip
         # (BASELINE.md projection section).
-        force_sharded = bool(os.environ.get("SIR_FORCE_SHARDED"))
         mesh = (
             build_mesh(mesh_size) if (mesh_size > 1 or force_sharded) else None
         )
@@ -957,6 +1035,11 @@ class Pipeline:
         gb = gb_cfg
 
         def pad_batch(arr, lo):
+            if isinstance(arr, jax.Array):
+                # device-resident probe maps: clamp-gather the batch window
+                # (== batch_host's repeat-last-row tail padding) on device
+                idx = np.minimum(np.arange(lo, lo + pb), arr.shape[0] - 1)
+                return jnp.take(arr, jnp.asarray(idx), axis=0)
             return jnp.asarray(batch_host(np.asarray(arr), lo))
 
         # height-sort the gallery so the kernel's lane-packed print groups
@@ -966,16 +1049,27 @@ class Pipeline:
         inv_order = np.argsort(order)
         g_valid = np.asarray(g_valid)[order]
 
-        # tpu.cache_dtype="bfloat16": gallery maps at rest on host in bf16 —
+        # device-resident gallery maps (extraction under _device_maps_budget
+        # or prewarm's device zeros) sort/slice on device — no host round
+        # trip between extraction and the scoring kernels
+        dev_gal = isinstance(g_maps, jax.Array)
+        # tpu.cache_dtype="bfloat16": gallery maps at rest on HOST in bf16 —
         # halves the host->device stream each gallery block pays (cache and
-        # scoring stay f32; features round at ~3e-3 relative, see config.py)
-        bf16_rest = self.config["tpu"].get("cache_dtype") == "bfloat16"
+        # scoring stay f32; features round at ~3e-3 relative, see config.py).
+        # Device-resident maps have no host at-rest copy, so the cast (and
+        # its ranking caveat) does not apply to them.
+        bf16_rest = (
+            self.config["tpu"].get("cache_dtype") == "bfloat16" and not dev_gal
+        )
         if not prewarm:
-            g_maps = np.asarray(g_maps)[order]
-            if bf16_rest:
-                import ml_dtypes
+            if dev_gal:
+                g_maps = _sort_take(g_maps, jnp.asarray(order))
+            else:
+                g_maps = np.asarray(g_maps)[order]
+                if bf16_rest:
+                    import ml_dtypes
 
-                g_maps = g_maps.astype(ml_dtypes.bfloat16)
+                    g_maps = g_maps.astype(ml_dtypes.bfloat16)
         elif bf16_rest:
             # prewarm feeds zeros: a broadcast view keeps the dtype — and
             # thus the compiled signature — identical without materializing
@@ -1092,7 +1186,12 @@ class Pipeline:
             blk, blk_valid = g_maps[b_lo:b_hi], g_valid[b_lo:b_hi]
             if b_hi - b_lo < gb:  # pad the tail block: one compiled shape
                 pad = gb - (b_hi - b_lo)
-                blk = np.concatenate([blk, np.zeros((pad, *blk.shape[1:]), blk.dtype)])
+                if dev_gal:
+                    blk = jnp.pad(blk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                else:
+                    blk = np.concatenate(
+                        [blk, np.zeros((pad, *blk.shape[1:]), blk.dtype)]
+                    )
                 blk_valid = np.concatenate(
                     [blk_valid, np.full((pad, 2), 2 * EDGE_CROP + 8, blk_valid.dtype)]
                 )
@@ -1100,12 +1199,21 @@ class Pipeline:
             gops = None
             if mesh is not None:
                 sharded_cache, g_pad_true = shard_cache(cache, mesh)
+                # the sharded copy is what scoring reads; retiring the
+                # unsharded cache NOW frees ~1.2 GB at WVU scale (the
+                # forced-sharded engine bench OOMed HBM with both resident)
+                cache = None
                 scorer_m = make_sharded_packed_scorer(
                     mesh, sharded_cache, true_channels=true_c, layout=layout,
                     g_true=g_pad_true, use_pallas=use_pallas, compute_dtype=dtype,
                     interpret=interpret, class_canvas_hw=class_canvas_hw,
                     kernel_hw=kernel_hw, use_epi=epi_grid_pad is not None,
                 )
+                # with the hoisted per-shard packing (use_pallas+kernel_hw)
+                # the scorer reads only its packed operands — retire the
+                # engine's sharded-cache reference (~1.2 GB at WVU scale;
+                # the non-pops scorer keeps its own closure reference)
+                sharded_cache = None
             elif use_pops:
                 gops = fns.pack_gallery(cache)
                 cache = None  # the kernel reads only the packed operands
@@ -1167,6 +1275,10 @@ class Pipeline:
         round 3 silently ran single-device/one-shot on those configs
         (VERDICT r3 weak #3).
         """
+        # the FFT backend is the CPU-class fallback: normalize device-
+        # resident maps to host (free on CPU; not this backend's production
+        # regime on TPU) so the block/pad bookkeeping stays one code path
+        q_maps, g_maps = np.asarray(q_maps), np.asarray(g_maps)
         true_c = q_maps.shape[1]
         hc, wc = q_maps.shape[2], q_maps.shape[3]
         kernel_hw = (tc[0] - 2 * EDGE_CROP, tc[1] - 2 * EDGE_CROP)
@@ -1384,8 +1496,22 @@ class Pipeline:
             g_shape = (len(g_out), c, hfg, wfg)
         if self._shutdown.is_set():
             return
-        qz = np.zeros((len(q_files), c, hfq, wfq), np.float32)
-        gz = np.broadcast_to(np.zeros((), np.float32), g_shape)
+        # mirror the real run's device residency so the warmed executables
+        # (device-take batching, device block slicing) are the ones the
+        # real scoring will call: fresh extraction keeps maps on device
+        # under the budget; a gallery cache hit arrives as host arrays
+        budget = _device_maps_budget()
+        q_bytes = len(q_files) * c * hfq * wfq * 4
+        qz = (
+            jnp.zeros((len(q_files), c, hfq, wfq), jnp.float32)
+            if q_bytes <= budget
+            else np.zeros((len(q_files), c, hfq, wfq), np.float32)
+        )
+        g_bytes = int(np.prod(g_shape)) * 4
+        if g_cached is None and g_bytes <= budget:
+            gz = jnp.zeros(g_shape, jnp.float32)
+        else:
+            gz = np.broadcast_to(np.zeros((), np.float32), g_shape)
         self._score_cluster(qz, q_valid_f, gz, g_valid_f, prewarm=True)
         if self.verbose:
             print("  (prewarm: extraction + scoring executables compiled)")

@@ -74,6 +74,12 @@ class GalleryFeatureCache:
         return None
 
     def put(self, key: str, maps: np.ndarray, valid: np.ndarray) -> None:
+        # normalize to host: a device-resident map set (engine
+        # _device_maps_budget) must not pin HBM across clusters via the RAM
+        # cache — the hit path re-uploads per cluster, the miss path (fresh
+        # extraction -> scoring) stays device-resident end to end
+        maps = np.asarray(maps)
+        valid = np.asarray(valid)
         self._ram[key] = (maps, valid)
         if self.cache_dir:
             tmp = self.cache_dir / f"{key}.tmp.npz"  # np.savez appends .npz

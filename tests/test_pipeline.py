@@ -471,3 +471,22 @@ def test_fusion_blocks_scoring(dataset, tmp_path):
         s4, _ = pipe_c._cluster_scores(replace(plan, block=4))
         want = ranks_from_scores(s5 + s4, pipe_c.dataset.matching_pairs(q_files))
         np.testing.assert_array_equal(out.ranks, want)
+
+
+def test_device_resident_maps_match_host_path(dataset, tmp_path, monkeypatch):
+    """Extraction hands feature maps to scoring DEVICE-resident when they fit
+    ``SIR_DEVICE_MAPS_MAX`` (engine._device_maps_budget — no HBM->host->HBM
+    bounce between the stages); forcing the budget to 0 keeps the round-3
+    host-resident path. Both must produce identical ranks through the full
+    Pipeline (the device path swaps batch_host tail padding for a clamp
+    gather, host height-sort for _sort_take, and np.concatenate tail-block
+    padding for jnp.pad — all bit-equal data movements)."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(RUN_TOML.format(dir=str(dataset)) + "prewarm = false\n")
+    config = load_config(cfg_path)
+
+    monkeypatch.setenv("SIR_DEVICE_MAPS_MAX", "0")
+    host = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
+    monkeypatch.setenv("SIR_DEVICE_MAPS_MAX", str(int(2e9)))
+    dev = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
+    assert host == dev
