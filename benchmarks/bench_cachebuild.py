@@ -39,7 +39,7 @@ def sync(tree) -> None:
     import jax
 
     leaf = jax.tree.leaves(tree)[0]
-    np.asarray(leaf.reshape(-1)[:1])
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])  # no reshape copy
 
 
 def timeit(fn, *args, reps: int = 3) -> float:
@@ -47,8 +47,13 @@ def timeit(fn, *args, reps: int = 3) -> float:
     sync(out)  # warmup / compile
     t0 = time.perf_counter()
     for _ in range(reps):
+        # free the previous rep's result BEFORE the next call: big outputs
+        # (packed operands ~5 GB at G=300) would otherwise double-buffer in
+        # HBM across reps. The per-rep sync barrier costs a tunnel roundtrip
+        # (~ms) against ~1 s stage times.
+        del out
         out = fn(*args)
-    sync(out)
+        sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -129,20 +134,42 @@ def main() -> None:
         lambda c: pack_gallery_operands(c, hk=kernel_hw[0], wk=kernel_hw[1])
     )
 
+    # per-dispatch roundtrip over this host<->device link: the engine issues
+    # many small eager jit calls per cluster (sort, 8 pad_batch gathers per
+    # probe batch, slot staging) — on a tunneled device each costs a
+    # dispatch roundtrip that a local host does not pay
+    tiny = jnp.zeros((8,), jnp.float32)
+    inc = jax.jit(lambda x: x + 1.0)
+    t_dispatch = timeit(inc, tiny, reps=20)
+
+    # the engine's device-side gallery height-sort (_sort_take analog)
+    order_d = jnp.asarray(np.argsort(-g_sizes[:, 0], kind="stable"))
+    sort_j = jax.jit(lambda g, o: jnp.take(g, o, axis=0))
+    t_sort = timeit(sort_j, gal_d, order_d)
+
     t_demean = timeit(demean_t, gal_d, sizes_d)
     t_cumsum = timeit(ints_cumsum, p0)
     t_matmul = timeit(ints_matmul, p0)
-    a = ints_cumsum(p0)
-    b = ints_matmul(p0)
-    err = max(
-        float(jnp.max(jnp.abs(x - y))) / max(1.0, float(jnp.max(jnp.abs(x))))
-        for x, y in zip(a, b)
-    )
+
+    @jax.jit
+    def int_err(p0):  # compare on device; never materialize both pairs on host
+        a1, a2 = ints_cumsum(p0)
+        b1, b2 = ints_matmul(p0)
+        return jnp.maximum(
+            jnp.max(jnp.abs(a1 - b1)) / jnp.maximum(1.0, jnp.max(jnp.abs(a1))),
+            jnp.max(jnp.abs(a2 - b2)) / jnp.maximum(1.0, jnp.max(jnp.abs(a2))),
+        )
+
+    err = float(int_err(p0))
+    del p0
     t_full = timeit(build_j, gal_d, sizes_d)
     cache = build_j(gal_d, sizes_d)
     sync(cache.p0)
+    del gal_d  # raw gallery no longer needed; make room for packed operands
     t_pack = timeit(pack_j, cache)
 
+    log(f"jit dispatch roundtrip (8-elt) : {t_dispatch * 1e3:8.1f} ms")
+    log(f"gallery sort (device take)     : {t_sort * 1e3:8.1f} ms")
     log(f"demean+transpose : {t_demean * 1e3:8.1f} ms")
     log(f"integrals cumsum : {t_cumsum * 1e3:8.1f} ms")
     log(f"integrals matmul : {t_matmul * 1e3:8.1f} ms  (rel err vs cumsum {err:.2e})")

@@ -762,6 +762,31 @@ class Pipeline:
             packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
             return pack_kern_fn(packed.kernels)
 
+        # *_idx variants: the probe batch is gathered INSIDE the jit from
+        # the full cluster arrays via a pre-clamped index vector. The eager
+        # per-batch pad_batch path costs one dispatch per operand (7/batch);
+        # on a tunneled device each eager op is a ~13 ms RPC
+        # (benchmarks/bench_cachebuild.py), so device-resident probe maps
+        # route here and pay one small idx upload per batch instead.
+        @jax.jit
+        def score_batch_pops_idx(gops, idx, maps, valid, ridx, rok, wvq,
+                                 whq, shw, windows, slot_hw, slot_map,
+                                 epi=None):
+            t = lambda a: jnp.take(a, idx, axis=0)
+            packed = build_packed(t(maps), t(valid), t(ridx), t(rok),
+                                  t(wvq), t(whq), t(shw), windows)
+            return score_pops_fn(
+                gops, pack_kern_fn(packed.kernels), slot_hw, slot_map, epi
+            )
+
+        @jax.jit
+        def build_kern_inputs_idx(idx, maps, valid, ridx, rok, wvq, whq,
+                                  shw, windows):
+            t = lambda a: jnp.take(a, idx, axis=0)
+            packed = build_packed(t(maps), t(valid), t(ridx), t(rok),
+                                  t(wvq), t(whq), t(shw), windows)
+            return pack_kern_fn(packed.kernels)
+
         fns = SimpleNamespace(
             layout=layout,
             builders={},  # mesh -> sharded probe-parallel stack builder
@@ -775,7 +800,9 @@ class Pipeline:
             )),
             score_pops=jax.jit(score_pops_fn),
             score_batch_pops=score_batch_pops,
+            score_batch_pops_idx=score_batch_pops_idx,
             build_kern_inputs=build_kern_inputs,
+            build_kern_inputs_idx=build_kern_inputs_idx,
             # cast covers tpu.cache_dtype="bfloat16" host-at-rest maps: the
             # device cache (demeaned prints + integral images) is always f32
             build_cache=jax.jit(
@@ -1172,9 +1199,29 @@ class Pipeline:
         # gallery packing and each batch's kernel packing happen once, not
         # per (block x batch) score call (see _scorer_bundle score_pops)
         use_pops = use_pallas and mesh is None
+        # device-resident probe maps route through the *_idx executables:
+        # the cluster's variant-plan arrays upload ONCE and each batch's
+        # window is gathered INSIDE the score jit — 1 small idx transfer
+        # per batch instead of 7 eager pad_batch dispatches (each a ~13 ms
+        # RPC on a tunneled device, benchmarks/bench_cachebuild.py)
+        idx_pops = use_pops and isinstance(q_maps, jax.Array)
+        if idx_pops:
+            plan_d = tuple(jnp.asarray(a) for a in
+                           (q_valid, rot_idx, rot_ok, wv, wh, scale_hw))
+            idx_by_lo = {
+                lo: jnp.asarray(np.minimum(
+                    np.arange(lo, lo + pb), len(q_maps) - 1
+                ).astype(np.int32))
+                for lo in score_starts
+            }
         packed_pre: dict[int, object] = {}
         if prebuild:
             for lo in score_starts:
+                if idx_pops:
+                    packed_pre[lo] = fns.build_kern_inputs_idx(
+                        idx_by_lo[lo], q_maps, *plan_d, slots_by_lo[lo][0]
+                    )
+                    continue
                 args_lo = build_args(lo, slots_by_lo[lo][0])
                 packed_pre[lo] = (
                     fns.build_kern_inputs(*args_lo) if use_pops
@@ -1230,6 +1277,11 @@ class Pipeline:
                 elif use_pops and prebuild:
                     dev_rows = fns.score_pops(
                         gops, packed_pre[lo], slot_hw_d, smap_d, epi_d
+                    )
+                elif idx_pops:
+                    dev_rows = fns.score_batch_pops_idx(
+                        gops, idx_by_lo[lo], q_maps, *plan_d, wins_d,
+                        slot_hw_d, smap_d, epi_d
                     )
                 elif use_pops:
                     dev_rows = fns.score_batch_pops(
