@@ -7,7 +7,7 @@ the exact weights the reference uses and saves a ``.npz`` state dict that
 ``models/convert.py`` maps onto the JAX trees:
 
     python scripts/export_torchvision_weights.py EfficientNetV2_M VGG16 ...
-    # or with no args: all 12
+    # or with no args: all 13
     # then copy the .npz files into <repo>/weights/
 
 The weights tags match the reference exactly (VGG16 uses

@@ -118,9 +118,10 @@ def test_convert_is_strict_about_missing_and_extra_keys(replica_and_npz):
 @pytest.mark.parametrize(
     "model_type,make_replica,block,size,tol",
     [
-        # all 12 reference model strings (reference network.py:121-182):
-        # every registry entry proven against an independent torchvision-
-        # shaped torch.nn replica, through the truncated forward
+        # the other 12 of the reference's 13 model strings (reference
+        # network.py:121-182; EfficientNetV2_M is proven by the replica
+        # tests above): every registry entry proven against an independent
+        # torchvision-shaped torch.nn replica, through the truncated forward
         ("VGG16", lambda: replica_vgg("VGG16"), 7, 48, 1e-4),
         ("VGG19", lambda: replica_vgg("VGG19"), 7, 48, 1e-4),
         ("VGG19_BN", lambda: replica_vgg("VGG19_BN"), 10, 48, 1e-4),
