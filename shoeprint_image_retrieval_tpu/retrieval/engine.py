@@ -101,11 +101,9 @@ class DeviceScores:
     g_total: int
 
     def ranks(self, matching_pairs) -> np.ndarray:
-        from ..ops.topk import ranks_on_device
-
         sorted_pairs = self.inv_order[np.asarray(matching_pairs)]
         return np.asarray(
-            jax.jit(ranks_on_device)(
+            _ranks_j(
                 self.buf[: self.n_q, : self.g_total],
                 jnp.asarray(sorted_pairs.astype(np.int32)),
             )
@@ -119,10 +117,15 @@ class DeviceScores:
 
 
 # device-side score accumulation for rank_on_device: donated buffer, one
-# dynamic_update_slice per (gallery block x probe batch) score tile
-@partial(jax.jit, donate_argnums=0)
-def _acc_scores(buf, rows, lo_q, lo_g):
-    return jax.lax.dynamic_update_slice(buf, rows, (lo_q, lo_g))
+# dynamic_update_slice per (gallery block x probe batch) score tile.
+# ``width`` (static) crops the tile to the gallery-block width first: the
+# single-device pallas scorers return ceil(gb/gt)*gt columns (lane-packed
+# gallery pad, ops/pallas/ncc_kernel.score_packed_operands) — written
+# unsliced, the pad columns would overflow past the buffer's last block
+# (trace error single-block, silent left-shifted clobber multi-block).
+@partial(jax.jit, static_argnums=4, donate_argnums=0)
+def _acc_scores(buf, rows, lo_q, lo_g, width):
+    return jax.lax.dynamic_update_slice(buf, rows[:, :width], (lo_q, lo_g))
 
 
 def _device_maps_budget() -> int:
@@ -1296,7 +1299,7 @@ class Pipeline:
                         cache, *build_args(lo, wins_d), slot_hw_d, smap_d, epi_d
                     )
                 if rank_dev:
-                    buf = _acc_scores(buf, dev_rows, lo, b_lo)
+                    buf = _acc_scores(buf, dev_rows, lo, b_lo, gb)
                     pending.append(dev_rows)
                     if len(pending) > 2:
                         # pace only: 4 bytes, synchronizes on that call
