@@ -34,13 +34,18 @@ import numpy as np
 
 QUICK = "--quick" in sys.argv or os.environ.get("BENCH_QUICK") == "1"
 BF16 = "--bf16" in sys.argv or os.environ.get("BENCH_BF16") == "1"
-# --engine: the SAME workload through Pipeline._score_cluster — the shipped
-# production scoring path (variant planning, scorer bundle, gallery
-# blocking, 2-deep drain), not the kernel-level composition below. Set
-# SIR_FORCE_SHARDED=1 to additionally route it through the sharded
-# shard_map code path at mesh=1 (VERDICT r3 weak #2: tie the v5e-8
-# projection to the engine, not a sibling of it).
-ENGINE = "--engine" in sys.argv or os.environ.get("BENCH_ENGINE") == "1"
+# The recorded headline is the ENGINE path (VERDICT r4 item 2): the default
+# run drives Pipeline._score_cluster — the shipped production scoring path
+# (variant planning, scorer bundle, gallery blocking, 2-deep drain) — and
+# the kernel-level composition below is measured as a secondary `kernel`
+# field in the same JSON line, so regressions in the shipped path can never
+# hide behind a kernel-level number. Mode flags:
+#   --engine / BENCH_ENGINE=1    engine path only (skip the kernel figure)
+#   --kernel / BENCH_KERNEL=1    kernel-level composition only (r2-r4 headline)
+# Set SIR_FORCE_SHARDED=1 to route the engine through the sharded shard_map
+# code path at mesh=1.
+ENGINE_ONLY = "--engine" in sys.argv or os.environ.get("BENCH_ENGINE") == "1"
+KERNEL_ONLY = "--kernel" in sys.argv or os.environ.get("BENCH_KERNEL") == "1"
 
 
 def log(msg: str) -> None:
@@ -48,8 +53,9 @@ def log(msg: str) -> None:
 
 
 def run_engine_mode(gal, g_sizes, qmaps, q_sizes, rotations, scales, PB):
-    """Time Pipeline._score_cluster on the bench workload (real chip)."""
-    import json
+    """Time Pipeline._score_cluster on the bench workload (real chip).
+
+    Returns (probes_per_sec, metric_name)."""
     import tempfile
     import time as _time
     from pathlib import Path
@@ -128,16 +134,11 @@ probe_batch = {PB}
     log(f"{len(qmaps)} probes x {gal.shape[0]} prints through the ENGINE in "
         f"{dt:.3f}s -> {pps:.2f} probes/s")
     assert scores.shape == (len(qmaps), gal.shape[0])
-
-    print(json.dumps({
-        "metric": (
-            "probes_per_sec_engine_sharded_at_1" if sharded
-            else "probes_per_sec_engine_path"
-        ),
-        "value": round(pps, 3),
-        "unit": "probes/s",
-        "vs_baseline": round(pps / 100.0, 4),
-    }))
+    pipe.close()
+    return pps, (
+        "probes_per_sec_engine_sharded_at_1" if sharded
+        else "probes_per_sec_engine_path"
+    )
 
 
 def main() -> None:
@@ -201,14 +202,24 @@ def main() -> None:
 
     kernel_hw = (tc[0] - 4, tc[1] - 4)
 
-    if ENGINE:
+    engine_pps = engine_metric = None
+    if not KERNEL_ONLY:
         qmaps = np.zeros((Q, C, hc, wc), np.float32)
         for qi in range(Q):
             h, w = int(q_sizes[qi, 0]), int(q_sizes[qi, 1])
             qmaps[qi, :, :h, :w] = rng.normal(size=(C, h, w)).astype(np.float32)
         pb = min(int(os.environ.get("BENCH_PB", str(PB_DEFAULT))), Q)
-        run_engine_mode(gal, g_sizes, qmaps, q_sizes, rotations, scales, pb)
-        return
+        engine_pps, engine_metric = run_engine_mode(
+            gal, g_sizes, qmaps, q_sizes, rotations, scales, pb
+        )
+        if ENGINE_ONLY:
+            print(json.dumps({
+                "metric": engine_metric,
+                "value": round(engine_pps, 3),
+                "unit": "probes/s",
+                "vs_baseline": round(engine_pps / 100.0, 4),
+            }))
+            return
 
     t0 = time.perf_counter()
     cache = jax.jit(build_direct_cache)(jnp.asarray(gal), jnp.asarray(g_sizes))
@@ -396,13 +407,27 @@ def main() -> None:
     dt = time.perf_counter() - t0
     pps = (len(batches) * PB) / dt
     log(f"{len(batches) * PB} probes x {n_var} variants x {G} prints in "
-        f"{dt:.3f}s -> {pps:.2f} probes/s")
+        f"{dt:.3f}s -> {pps:.2f} probes/s (kernel-level)")
 
+    if engine_pps is None:  # --kernel: the r2-r4 headline composition alone
+        print(json.dumps({
+            "metric": "probes_per_sec_full_gallery_ncc",
+            "value": round(pps, 3),
+            "unit": "probes/s",
+            "vs_baseline": round(pps / 100.0, 4),
+        }))
+        return
+
+    # default: headline = the shipped engine path; the kernel-level figure
+    # rides along as a secondary field (VERDICT r4 item 2 — the scoreboard
+    # number must BE the production path so regressions there cannot hide)
     print(json.dumps({
-        "metric": "probes_per_sec_full_gallery_ncc",
-        "value": round(pps, 3),
+        "metric": engine_metric,
+        "value": round(engine_pps, 3),
         "unit": "probes/s",
-        "vs_baseline": round(pps / 100.0, 4),
+        "vs_baseline": round(engine_pps / 100.0, 4),
+        "engine": round(engine_pps, 3),
+        "kernel": round(pps, 3),
     }))
 
 

@@ -494,11 +494,14 @@ int decode_gray_png(const uint8_t* data, size_t len,
   png_read_info(png, info);
   const int color = png_get_color_type(png, info);
   const int depth = png_get_bit_depth(png, info);
-  if (color != PNG_COLOR_TYPE_GRAY || depth > 8) {
+  // depth < 8 is UNSUPPORTED (not expanded): libpng's bit-replication would
+  // disagree with PIL's mode-'1' bool decode for 1-bit inputs, making pixel
+  // data depend on which tier decoded the file. Unsupported routes the whole
+  // file set through the single PIL-defined path (data/native_ingest.py).
+  if (color != PNG_COLOR_TYPE_GRAY || depth != 8) {
     png_destroy_read_struct(&png, &info, nullptr);
     return 2;
   }
-  if (depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   png_set_interlace_handling(png);
   png_read_update_info(png, info);
   *h = static_cast<int>(png_get_image_height(png, info));

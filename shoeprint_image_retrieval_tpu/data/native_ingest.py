@@ -91,10 +91,57 @@ def available() -> bool:
     return _load() is not None
 
 
+_decode_ok: bool | None = None
+
+
+def _decode_self_check(lib) -> bool:
+    """One-time decoder parity probe: the native JPEG tier's bit-exactness
+    vs PIL holds only when the system libjpeg's IDCT agrees with the one
+    Pillow bundles (a legal ±1-pixel divergence would silently shift scores
+    vs the oracle on hosts that never run the test suite — ADVICE r4). A
+    small PIL-encoded JPEG is decoded through both paths; both outputs run
+    the SAME native crop/resize, so any difference is the decoder's. On
+    mismatch the native decode tier is disabled wholesale and ingest falls
+    back to the PIL tier (decode PIL, crop+resize native) — the same
+    philosophy as unsupported formats."""
+    import tempfile
+
+    try:
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        src = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
+        with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as fh:
+            path = fh.name
+        try:
+            Image.fromarray(src, mode="L").save(path, quality=90)
+            with Image.open(path) as im:
+                pil_px = np.asarray(im.convert("L"))
+            h, w = pil_px.shape
+            native = ingest_files(
+                [path], [(h, w)], [(0, 0)], [(h, w)], n_threads=1,
+                _self_check=True,
+            )
+            if native is None:
+                return False
+            via_pil = crop_resize_batch([pil_px], [(0, 0)], [(h, w)], 1)
+            return bool(np.array_equal(native[0], via_pil[0]))
+        finally:
+            Path(path).unlink(missing_ok=True)
+    except Exception:
+        return False
+
+
 def decode_available() -> bool:
-    """True when the library was built with native JPEG/PNG decode."""
+    """True when the library was built with native JPEG/PNG decode AND the
+    system codec's output matched PIL's on the load-time self-check."""
+    global _decode_ok
     lib = _load()
-    return lib is not None and bool(lib.sir_has_codecs())
+    if lib is None or not bool(lib.sir_has_codecs()):
+        return False
+    if _decode_ok is None:
+        _decode_ok = _decode_self_check(lib)
+    return _decode_ok
 
 
 def ingest_files(
@@ -103,6 +150,7 @@ def ingest_files(
     crops: Sequence[tuple[int, int]],
     out_sizes: Sequence[tuple[int, int]],
     n_threads: int = 8,
+    _self_check: bool = False,
 ) -> list[np.ndarray] | None:
     """Full-native batch ingest: decode (8-bit gray JPEG/PNG) + crop +
     PIL-exact Lanczos resize, one C call, thread-strided — Python never
@@ -126,6 +174,8 @@ def ingest_files(
     lib = _load()
     if lib is None or not lib.sir_has_codecs():
         return None
+    if not _self_check and not decode_available():
+        return None  # codec self-check failed: PIL tier decodes everything
     n = len(paths)
     dsts = [np.empty(hw, np.uint8) for hw in out_sizes]
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])

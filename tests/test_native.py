@@ -201,3 +201,56 @@ def test_native_decode_falls_back_on_unsupported(tmp_path):
     )
     out = load_images(tmp_path, ["gray.png", "rgb.png"], 1.0, (0.0, 0.0), 2)
     assert out[0].ndim == 2 and out[1].ndim == 3
+
+
+def test_native_decode_rejects_sub8bit_png(tmp_path):
+    """Sub-8-bit gray PNGs are UNSUPPORTED in the native decoder (ADVICE r4):
+    libpng's 1/2/4-bit expansion bit-replicates to 0..255 while PIL decodes
+    1-bit files to mode '1' (bool 0/1) — pixel data must not depend on which
+    tier decoded the file, so such inputs always take the PIL-defined path."""
+    from PIL import Image
+
+    from shoeprint_image_retrieval_tpu.data import native_ingest
+    from shoeprint_image_retrieval_tpu.data.loader import load_images, load_one
+
+    if not native_ingest.decode_available():
+        pytest.skip("native codecs unavailable")
+
+    rng = np.random.default_rng(7)
+    bits = (rng.integers(0, 2, (40, 40)) * 255).astype(np.uint8)
+    Image.fromarray(bits).convert("1").save(tmp_path / "onebit.png")
+
+    # the native tier must refuse (None), routing through PIL
+    assert native_ingest.ingest_files(
+        [str(tmp_path / "onebit.png")], [(40, 40)], [(0, 0)], [(40, 40)], 1
+    ) is None
+    out = load_images(tmp_path, ["onebit.png"], 1.0, (0.0, 0.0), 1)
+    ref = load_one(tmp_path / "onebit.png", 1.0, (0.0, 0.0))
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def test_decode_self_check_gates_native_tier(monkeypatch):
+    """decode_available() runs a one-time decoder parity probe (ADVICE r4):
+    a system libjpeg whose IDCT disagrees with PIL's must disable the native
+    decode tier wholesale rather than silently shifting pixel data."""
+    from shoeprint_image_retrieval_tpu.data import native_ingest
+
+    if not native_ingest.available():
+        pytest.skip("native library unavailable")
+
+    # the real self-check on this host must pass (bit-exact codecs)
+    monkeypatch.setattr(native_ingest, "_decode_ok", None)
+    lib_ok = native_ingest._load() is not None and bool(
+        native_ingest._load().sir_has_codecs()
+    )
+    if lib_ok:
+        assert native_ingest.decode_available() is True
+
+    # a failing probe disables the tier (and ingest_files honors the gate)
+    monkeypatch.setattr(native_ingest, "_decode_self_check", lambda lib: False)
+    monkeypatch.setattr(native_ingest, "_decode_ok", None)
+    assert native_ingest.decode_available() is False
+    if lib_ok:
+        assert native_ingest.ingest_files(
+            ["/nonexistent.jpg"], [(8, 8)], [(0, 0)], [(8, 8)], 1
+        ) is None
