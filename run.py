@@ -41,8 +41,16 @@ def _ensure_dataset(config) -> None:
 
 
 def main() -> None:
-    config = load_config(sys.argv[1] if len(sys.argv) > 1 else "run.toml")
+    args = [a for a in sys.argv[1:] if a != "--parity"]
+    config = load_config(args[0] if args else "run.toml")
     _ensure_dataset(config)
+    if "--parity" in sys.argv[1:]:
+        # rankings-identical parity audit: TPU pipeline vs CPU oracle on the
+        # same dataset, both CMC lines printed, exit 1 on any rank mismatch
+        # (see retrieval/parity.py for the weights-loading story)
+        from shoeprint_image_retrieval_tpu.retrieval.parity import run_parity
+
+        raise SystemExit(run_parity(config))
     pipeline = Pipeline(config)
     for out in pipeline.run():
         print("Calculating ranks:")
