@@ -141,6 +141,39 @@ class TpuConfig(TypedDict, total=True):
             combined with ``fusion_blocks`` (fusion sums host matrices) and
             by the "fft" backend. Default false (the host path is the
             reference-exact semantics).
+        pruned_scoring: exact-preserving two-pass pruned scoring (rank-only
+            mode). CMC needs only each query's TRUE-MATCH rank (reference
+            parse_results.py:4-24 consumes ranks, similarity.py:378-386
+            derives them from the score row), so scoring every (query,
+            print) pair at full channel depth is wasted FLOPs for pairs
+            that provably rank below the true match. Three passes: (0)
+            exact true-match scores (each batch vs its own matched prints
+            only); (1) a channel-prefix pass over all pairs whose score
+            yields the sound upper bound ``(k*score_k + (C-k))/C`` (every
+            per-channel NCC map is <= 1 by Cauchy-Schwarz); (2) pairs whose
+            bound (+ ``prune_margin``) falls below the query's true-match
+            score are pruned, survivors are re-scored EXACTLY at full
+            channel depth and the rank is counted among them with the
+            reference's tie convention. Rankings of the true match are
+            exact by construction; the prune rate (and the speedup) depends
+            on how sharply true matches score above the field. Produces
+            ranks, not score matrices — incompatible with
+            ``fusion_blocks``. Default false.
+        prune_channels: channel-prefix depth k for pass 1 of
+            ``pruned_scoring`` (0 = auto, C // 8). Smaller k makes pass 1
+            cheaper but the bound looser (more survivors).
+        prune_margin: safety slack added to the pruning bound to cover
+            f32 backend score error (BASELINE.md rank-stability: MXU
+            backends carry up to ~6e-4 absolute). Pairs within the margin
+            of the threshold are kept, never dropped. Default 5e-3.
+        pipeline_clusters: overlap cluster k's scoring with cluster k+1's
+            ingest + extraction on a lookahead thread (the PP analog; the
+            reference's run.py:17-24 serializes the full gallery
+            re-extraction against every cluster's scoring). Ranks are
+            unaffected — same code path, byte-identical features. Default
+            true; disable when HBM is tight (the lookahead holds the next
+            cluster's device-resident maps alongside the current scoring
+            footprint).
     """
 
     mesh_shape: int
@@ -157,6 +190,10 @@ class TpuConfig(TypedDict, total=True):
     cache_dtype: str
     fusion_blocks: list
     rank_on_device: bool
+    pruned_scoring: bool
+    prune_channels: int
+    prune_margin: float
+    pipeline_clusters: bool
 
 
 class Config(TypedDict, total=True):
@@ -183,6 +220,10 @@ _TPU_DEFAULTS: TpuConfig = {
     "cache_dtype": "float32",
     "fusion_blocks": [],
     "rank_on_device": False,
+    "pruned_scoring": False,
+    "prune_channels": 0,
+    "prune_margin": 5e-3,
+    "pipeline_clusters": True,
 }
 
 

@@ -66,6 +66,7 @@ from ..parallel.sharded import (
     shard_cache,
 )
 from ..ops.preprocess import normalize_batch
+from ..ops.topk import ranks_on_device
 from ..ops.warp import pil_resize_size, resample_weights, rotate_index_map
 from ..utils.tracing import profile_trace, stage_timer
 from .gallery import GalleryFeatureCache
@@ -78,6 +79,12 @@ class ClusterOutput:
     n_queries: int
     block: int
     scale: float
+
+
+# on-device true-match rank extraction (ops/topk.ranks_on_device) — jitted
+# once at module level so every DeviceScores.ranks() call shares the
+# executable (the slice shapes are cluster-static, so one compile per shape)
+_ranks_j = jax.jit(ranks_on_device)
 
 
 @dataclass
@@ -149,6 +156,23 @@ def _sort_take(maps, order):
     return jnp.take(maps, order, axis=0)
 
 
+def _stage_uploads(arrs: dict) -> dict:
+    """Upload a dict of host arrays concurrently.
+
+    Eager transfers serialize on the ISSUING thread — over a tunneled
+    device each is a ~13 ms RPC regardless of size
+    (benchmarks/bench_cachebuild.py), so a cluster's ~10-item staging costs
+    ~130 ms issued serially and ~the slowest single transfer issued from a
+    small thread pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(arrs) <= 2:
+        return {k: jnp.asarray(v) for k, v in arrs.items()}
+    with ThreadPoolExecutor(max_workers=min(8, len(arrs))) as pool:
+        futs = {k: pool.submit(jnp.asarray, v) for k, v in arrs.items()}
+        return {k: f.result() for k, f in futs.items()}
+
+
 class Pipeline:
     """End-to-end retrieval for one config (the reference's run.py loop)."""
 
@@ -176,6 +200,10 @@ class Pipeline:
         )
         self._mode_cache: dict[str, str] = {}
         self._prewarm_threads: list = []
+        # cluster-pipelining lookahead (tpu.pipeline_clusters): one worker
+        # ingests + extracts cluster k+1 while cluster k scores
+        self._la_pool = None
+        self._lookahead: tuple[int, object] | None = None
         # the prewarm thread and the main thread both build jit bundles /
         # model params; one lock keeps each built exactly once so both
         # threads share the same jit instances (= shared executables)
@@ -765,30 +793,62 @@ class Pipeline:
             packed = build_packed(maps, valid, ridx, rok, wvq, whq, shw, windows)
             return pack_kern_fn(packed.kernels)
 
-        # *_idx variants: the probe batch is gathered INSIDE the jit from
-        # the full cluster arrays via a pre-clamped index vector. The eager
-        # per-batch pad_batch path costs one dispatch per operand (7/batch);
-        # on a tunneled device each eager op is a ~13 ms RPC
-        # (benchmarks/bench_cachebuild.py), so device-resident probe maps
-        # route here and pay one small idx upload per batch instead.
-        @jax.jit
-        def score_batch_pops_idx(gops, idx, maps, valid, ridx, rok, wvq,
-                                 whq, shw, windows, slot_hw, slot_map,
-                                 epi=None):
+        # *_bi variants: ALL per-batch tables (windows, slots, epilogue
+        # grid, batch offsets) are stacked over the cluster's batches and
+        # uploaded ONCE; each score call passes only the batch ordinal bi
+        # and gathers its row inside the jit. With the *_idx path a cluster
+        # still paid ~5 eager staging dispatches per batch (each a ~13 ms
+        # RPC on a tunneled device, benchmarks/bench_cachebuild.py) — here
+        # the per-batch host->device traffic is one int32 scalar.
+        def _bi_batch(bi, maps, valid, ridx, rok, wvq, whq, shw,
+                      lo_all, wins_all):
+            lo = lo_all[bi]
+            idx = jnp.minimum(
+                lo + jnp.arange(pb, dtype=jnp.int32), maps.shape[0] - 1
+            )
             t = lambda a: jnp.take(a, idx, axis=0)
-            packed = build_packed(t(maps), t(valid), t(ridx), t(rok),
-                                  t(wvq), t(whq), t(shw), windows)
-            return score_pops_fn(
-                gops, pack_kern_fn(packed.kernels), slot_hw, slot_map, epi
+            # ridx uploads int16 when the flat canvas fits (halves the
+            # cluster's largest plan array over the link); widen for gather
+            return build_packed(
+                t(maps), t(valid), t(ridx).astype(jnp.int32), t(rok),
+                t(wvq), t(whq), t(shw), wins_all[bi],
             )
 
         @jax.jit
-        def build_kern_inputs_idx(idx, maps, valid, ridx, rok, wvq, whq,
-                                  shw, windows):
-            t = lambda a: jnp.take(a, idx, axis=0)
-            packed = build_packed(t(maps), t(valid), t(ridx), t(rok),
-                                  t(wvq), t(whq), t(shw), windows)
+        def score_batch_pops_bi(gops, bi, maps, valid, ridx, rok, wvq, whq,
+                                shw, lo_all, wins_all, slot_hw_all,
+                                smap_all, epi_all=None):
+            packed = _bi_batch(bi, maps, valid, ridx, rok, wvq, whq, shw,
+                               lo_all, wins_all)
+            epi = None if epi_all is None else tuple(e[bi] for e in epi_all)
+            return score_pops_fn(
+                gops, pack_kern_fn(packed.kernels), slot_hw_all[bi],
+                smap_all[bi], epi,
+            )
+
+        @jax.jit
+        def build_kern_inputs_bi(bi, maps, valid, ridx, rok, wvq, whq, shw,
+                                 lo_all, wins_all):
+            packed = _bi_batch(bi, maps, valid, ridx, rok, wvq, whq, shw,
+                               lo_all, wins_all)
             return pack_kern_fn(packed.kernels)
+
+        @jax.jit
+        def score_pops_bi(gops, kern_inputs, bi, slot_hw_all, smap_all,
+                          epi_all=None):
+            epi = None if epi_all is None else tuple(e[bi] for e in epi_all)
+            return score_pops_fn(
+                gops, kern_inputs, slot_hw_all[bi], smap_all[bi], epi
+            )
+
+        # fused gallery prep (single-block pops path): height-sort + cache
+        # build + operand packing in ONE jit call — the eager chain was 4
+        # dispatches with the intermediate cache materialized in HBM
+        @jax.jit
+        def prep_gallery_pops(maps, order, g_valid_sorted):
+            maps = jnp.take(maps.astype(jnp.float32), order, axis=0)
+            cache = build_direct_cache(maps, g_valid_sorted)
+            return pack_gallery_operands(cache, hk=hkk, wk=wkk)
 
         fns = SimpleNamespace(
             layout=layout,
@@ -803,9 +863,11 @@ class Pipeline:
             )),
             score_pops=jax.jit(score_pops_fn),
             score_batch_pops=score_batch_pops,
-            score_batch_pops_idx=score_batch_pops_idx,
+            score_batch_pops_bi=score_batch_pops_bi,
+            score_pops_bi=score_pops_bi,
             build_kern_inputs=build_kern_inputs,
-            build_kern_inputs_idx=build_kern_inputs_idx,
+            build_kern_inputs_bi=build_kern_inputs_bi,
+            prep_gallery_pops=prep_gallery_pops,
             # cast covers tpu.cache_dtype="bfloat16" host-at-rest maps: the
             # device cache (demeaned prints + integral images) is always f32
             build_cache=jax.jit(
@@ -1091,7 +1153,16 @@ class Pipeline:
         bf16_rest = (
             self.config["tpu"].get("cache_dtype") == "bfloat16" and not dev_gal
         )
-        if not prewarm:
+        # single-device pallas runs on hoisted packed operands; with device-
+        # resident probe maps the per-batch staging moves INSIDE the jits
+        # (*_bi executables); a device-resident single-block gallery
+        # additionally fuses sort + cache build + operand packing into one
+        # prep call (prep_gallery_pops) — each eliminated eager dispatch is
+        # a ~13 ms RPC on a tunneled device (bench_cachebuild.py)
+        use_pops = use_pallas and mesh is None
+        idx_pops = use_pops and isinstance(q_maps, jax.Array)
+        fused_prep = idx_pops and dev_gal and -(-g_total // gb) == 1
+        if not prewarm and not fused_prep:
             if dev_gal:
                 g_maps = _sort_take(g_maps, jnp.asarray(order))
             else:
@@ -1100,6 +1171,8 @@ class Pipeline:
                     import ml_dtypes
 
                     g_maps = g_maps.astype(ml_dtypes.bfloat16)
+        elif not prewarm:
+            pass  # fused prep sorts on device inside prep_gallery_pops
         elif bf16_rest:
             # prewarm feeds zeros: a broadcast view keeps the dtype — and
             # thus the compiled signature — identical without materializing
@@ -1138,7 +1211,8 @@ class Pipeline:
         # signatures skip the dummy device work entirely.
         sig = (true_c, hc, wc, kernel_hw, class_counts, class_canvas_hw, pb,
                n_slots, epi_grid_pad, gb, prebuild, tuple(g_maps.shape),
-               len(q_maps), mesh_size, use_pallas, str(dtype))
+               len(q_maps), mesh_size, use_pallas, str(dtype), idx_pops,
+               fused_prep)
         if prewarm and sig in self._warmed:
             return np.zeros((len(q_maps), g_total), np.float32)
         self._warmed.add(sig)
@@ -1154,7 +1228,9 @@ class Pipeline:
         rank_dev = (
             bool(self.config["tpu"].get("rank_on_device")) and not prewarm
         )
-        out = np.zeros((len(q_maps), g_total), np.float32)
+        # the host O(Q*G) matrix exists only on the host-argsort path —
+        # allocating it in rank_dev mode would defeat that mode's point
+        out = None if rank_dev else np.zeros((len(q_maps), g_total), np.float32)
         buf = (
             jnp.zeros((starts[-1] + pb, n_blocks * gb), jnp.float32)
             if rank_dev else None
@@ -1197,32 +1273,64 @@ class Pipeline:
         score_starts = starts[:1] if prewarm else starts
         block_los = [0] if prewarm else list(range(0, g_total, gb))
 
-        slots_by_lo = {lo: slot_args(lo) for lo in score_starts}
-        # single-device pallas runs on hoisted packed operands: the block's
-        # gallery packing and each batch's kernel packing happen once, not
-        # per (block x batch) score call (see _scorer_bundle score_pops)
-        use_pops = use_pallas and mesh is None
-        # device-resident probe maps route through the *_idx executables:
-        # the cluster's variant-plan arrays upload ONCE and each batch's
-        # window is gathered INSIDE the score jit — 1 small idx transfer
-        # per batch instead of 7 eager pad_batch dispatches (each a ~13 ms
-        # RPC on a tunneled device, benchmarks/bench_cachebuild.py)
-        idx_pops = use_pops and isinstance(q_maps, jax.Array)
+        slots_by_lo = (
+            {} if idx_pops else {lo: slot_args(lo) for lo in score_starts}
+        )
+        # device-resident probe maps route through the *_bi executables:
+        # the cluster's variant-plan arrays AND every batch's slot tables
+        # (stacked over batches) upload once in one parallel burst; each
+        # score call passes only the batch ordinal and gathers its window
+        # and tables INSIDE the jit — the *_idx path this supersedes still
+        # paid ~5 eager staging dispatches per batch (each a ~13 ms RPC on
+        # a tunneled device, benchmarks/bench_cachebuild.py)
         if idx_pops:
-            plan_d = tuple(jnp.asarray(a) for a in
-                           (q_valid, rot_idx, rot_ok, wv, wh, scale_hw))
-            idx_by_lo = {
-                lo: jnp.asarray(np.minimum(
-                    np.arange(lo, lo + pb), len(q_maps) - 1
-                ).astype(np.int32))
-                for lo in score_starts
+            wins_l, slothw_l, smap_l, epi_l = [], [], [], []
+            for lo in score_starts:
+                wins, uniq, smap = batch_windows[lo]
+                slot_hw = np.full((n_slots, 2), 2 * EDGE_CROP + 8, np.int32)
+                slot_hw[: len(uniq)] = uniq
+                wins_l.append(wins)
+                slothw_l.append(slot_hw)
+                smap_l.append(smap)
+                if epi_grid_pad is not None:
+                    epi_l.append(build_epilogue_grid(
+                        slot_hw, n_h_pad=epi_grid_pad[0],
+                        n_w_pad=epi_grid_pad[1], n_live=len(uniq),
+                    ))
+            stage = {
+                "q_valid": np.asarray(q_valid),
+                # int16 halves the cluster's largest plan upload; the jit
+                # widens before the gather (_bi_batch)
+                "ridx": (rot_idx.astype(np.int16) if hc * wc <= 32767
+                         else rot_idx),
+                "rok": rot_ok, "wv": wv, "wh": wh, "shw": scale_hw,
+                "lo_all": np.asarray(score_starts, np.int32),
+                "wins": np.stack(wins_l), "slot_hw": np.stack(slothw_l),
+                "smap": np.stack(smap_l),
             }
+            if epi_grid_pad is not None:
+                for j, nm in enumerate(("epi_h", "epi_w", "epi_c")):
+                    stage[nm] = np.stack([e[j] for e in epi_l])
+            if fused_prep:
+                stage["g_order"] = order.astype(np.int32)
+                stage["g_valid_sorted"] = np.asarray(g_valid)
+            staged = _stage_uploads(stage)
+            plan_d = tuple(
+                staged[k] for k in ("q_valid", "ridx", "rok", "wv", "wh", "shw")
+            )
+            tables_d = tuple(
+                staged[k] for k in ("lo_all", "wins", "slot_hw", "smap")
+            )
+            epi_all_d = (
+                tuple(staged[k] for k in ("epi_h", "epi_w", "epi_c"))
+                if epi_grid_pad is not None else None
+            )
         packed_pre: dict[int, object] = {}
         if prebuild:
-            for lo in score_starts:
+            for bi, lo in enumerate(score_starts):
                 if idx_pops:
-                    packed_pre[lo] = fns.build_kern_inputs_idx(
-                        idx_by_lo[lo], q_maps, *plan_d, slots_by_lo[lo][0]
+                    packed_pre[lo] = fns.build_kern_inputs_bi(
+                        bi, q_maps, *plan_d, tables_d[0], tables_d[1]
                     )
                     continue
                 args_lo = build_args(lo, slots_by_lo[lo][0])
@@ -1233,6 +1341,32 @@ class Pipeline:
 
         for b_lo in block_los:
             b_hi = min(b_lo + gb, g_total)
+            if fused_prep:
+                # one jit call: device height-sort + cache build + operand
+                # packing (the gallery is a single unsorted device block)
+                gops = fns.prep_gallery_pops(
+                    g_maps, staged["g_order"], staged["g_valid_sorted"]
+                )
+                cache = None
+                for bi, lo in enumerate(score_starts):
+                    dev_rows = fns.score_batch_pops_bi(
+                        gops, bi, q_maps, *plan_d, *tables_d, epi_all_d
+                    )
+                    if rank_dev:
+                        buf = _acc_scores(buf, dev_rows, lo, b_lo, gb)
+                        pending.append((lo, b_hi, dev_rows))
+                        if len(pending) > 2:
+                            p_lo, p_hi, p_rows = pending.pop(0)
+                            np.asarray(p_rows[:1, :1])
+                            if self.verbose and p_hi == g_total:
+                                n_take = min(pb, len(q_maps) - p_lo)
+                                print(f"  scored {p_lo + n_take}/"
+                                      f"{len(q_maps)} queries")
+                    else:
+                        pending.append((lo, b_lo, b_hi, dev_rows))
+                        drain(2)
+                gops = None
+                continue
             blk, blk_valid = g_maps[b_lo:b_hi], g_valid[b_lo:b_hi]
             if b_hi - b_lo < gb:  # pad the tail block: one compiled shape
                 pad = gb - (b_hi - b_lo)
@@ -1268,8 +1402,9 @@ class Pipeline:
                 gops = fns.pack_gallery(cache)
                 cache = None  # the kernel reads only the packed operands
 
-            for lo in score_starts:
-                wins_d, slot_hw_d, smap_d, epi_d = slots_by_lo[lo]
+            for bi, lo in enumerate(score_starts):
+                if not idx_pops:
+                    wins_d, slot_hw_d, smap_d, epi_d = slots_by_lo[lo]
                 if mesh is not None:
                     packed = packed_pre.get(lo) if prebuild else None
                     if packed is None:
@@ -1277,14 +1412,18 @@ class Pipeline:
                     dev_rows = regroup_max_j(
                         scorer_m(packed, slot_hw_d, smap_d, epi_d)
                     )
+                elif use_pops and prebuild and idx_pops:
+                    dev_rows = fns.score_pops_bi(
+                        gops, packed_pre[lo], bi, tables_d[2], tables_d[3],
+                        epi_all_d,
+                    )
                 elif use_pops and prebuild:
                     dev_rows = fns.score_pops(
                         gops, packed_pre[lo], slot_hw_d, smap_d, epi_d
                     )
                 elif idx_pops:
-                    dev_rows = fns.score_batch_pops_idx(
-                        gops, idx_by_lo[lo], q_maps, *plan_d, wins_d,
-                        slot_hw_d, smap_d, epi_d
+                    dev_rows = fns.score_batch_pops_bi(
+                        gops, bi, q_maps, *plan_d, *tables_d, epi_all_d
                     )
                 elif use_pops:
                     dev_rows = fns.score_batch_pops(
@@ -1300,10 +1439,14 @@ class Pipeline:
                     )
                 if rank_dev:
                     buf = _acc_scores(buf, dev_rows, lo, b_lo, gb)
-                    pending.append(dev_rows)
+                    pending.append((lo, b_hi, dev_rows))
                     if len(pending) > 2:
                         # pace only: 4 bytes, synchronizes on that call
-                        np.asarray(pending.pop(0)[:1, :1])
+                        p_lo, p_hi, p_rows = pending.pop(0)
+                        np.asarray(p_rows[:1, :1])
+                        if self.verbose and p_hi == g_total:
+                            n_take = min(pb, len(q_maps) - p_lo)
+                            print(f"  scored {p_lo + n_take}/{len(q_maps)} queries")
                 else:
                     pending.append((lo, b_lo, b_hi, dev_rows))
                     drain(2)
@@ -1311,6 +1454,11 @@ class Pipeline:
             cache = None
             gops = None
         if rank_dev:
+            if self.verbose:
+                for p_lo, p_hi, _ in pending:
+                    if p_hi == g_total:
+                        n_take = min(pb, len(q_maps) - p_lo)
+                        print(f"  scored {p_lo + n_take}/{len(q_maps)} queries")
             pending.clear()
             return DeviceScores(buf, inv_order, len(q_maps), g_total)
         drain(0)
@@ -1610,6 +1758,14 @@ class Pipeline:
         cluster keeps its planned scale.
         """
         fusion = list(self.config["tpu"].get("fusion_blocks") or [])
+        if self.config["tpu"].get("pruned_scoring"):
+            if fusion:
+                raise ValueError(
+                    "tpu.pruned_scoring is rank-only and cannot be combined "
+                    "with tpu.fusion_blocks (fusion sums score matrices; "
+                    "pruned mode never materializes one)"
+                )
+            return self._run_cluster_pruned(plan, next_plan)
         if fusion:
             from dataclasses import replace
 
@@ -1641,10 +1797,103 @@ class Pipeline:
                       f"true match ranked {rank}")
         return ClusterOutput(ranks, pairs, len(q_files), plan.block, plan.scale)
 
+    def _run_cluster_pruned(self, plan, next_plan=None) -> ClusterOutput:
+        """Rank one cluster via exact-preserving pruned scoring
+        (``tpu.pruned_scoring`` — see :mod:`.pruned` for the bound, its
+        soundness caveats, and the honest effectiveness envelope)."""
+        from .pruned import pruned_ranks
+
+        q_maps, q_valid, g_maps, g_valid, q_files = self._cluster_features(
+            plan, next_plan
+        )
+        pairs = self.dataset.matching_pairs(q_files)
+
+        def score_fn(qm, qv, gm, gv):
+            s = self._score_cluster(
+                np.asarray(qm), np.asarray(qv), np.asarray(gm), np.asarray(gv)
+            )
+            # rank_on_device composes with the FULL path only; pruned mode
+            # needs host bound arithmetic between passes
+            return s.materialize() if isinstance(s, DeviceScores) else s
+
+        with stage_timer("score-pruned", self.verbose):
+            ranks, stats = pruned_ranks(
+                score_fn, np.asarray(q_maps), np.asarray(q_valid),
+                np.asarray(g_maps), np.asarray(g_valid), pairs,
+                k=int(self.config["tpu"].get("prune_channels") or 0),
+                margin=float(self.config["tpu"].get("prune_margin") or 5e-3),
+            )
+        if self.verbose:
+            print(
+                f"pruned scoring: prune_rate={stats['prune_rate']:.3f} "
+                f"survivors={stats['survivors']}/{len(g_maps)} "
+                f"pair_frac={stats['pair_frac']:.3f} k={stats['k']}"
+            )
+            from ..data.discovery import parse_image_id
+
+            for qf, rank in zip(q_files, ranks):
+                print(f"Print {parse_image_id(qf, self.dataset.type)} "
+                      f"true match ranked {rank}")
+        return ClusterOutput(ranks, pairs, len(q_files), plan.block, plan.scale)
+
     def _cluster_scores(self, plan, next_plan=None):
         """(scores, q_files) for one (cluster, block): ingest -> extract ->
         score — the shared body run_cluster drives once (or once per fusion
         block)."""
+        q_maps, q_valid, g_maps, g_valid, q_files = self._cluster_features(
+            plan, next_plan
+        )
+        with stage_timer("score", self.verbose):
+            scores = self._score_cluster(q_maps, q_valid, g_maps, g_valid)
+        return scores, q_files
+
+    def _cluster_features(self, plan, next_plan=None):
+        """Ingest + extract one cluster, pipelined across clusters.
+
+        ``tpu.pipeline_clusters`` (default on): cluster k+1's ingest +
+        extraction run on a lookahead thread WHILE cluster k scores — the
+        PP analog the reference never had (its run.py:17-24 serializes the
+        full gallery re-extraction against every cluster's scoring). The
+        score gate already serializes the device-heavy scoring phases;
+        extraction chunks interleave with scoring batches on the device
+        queue, so the hidden cost is the host side (decode, CLAHE, staging)
+        plus extraction's device time that fills scoring's dispatch gaps.
+        Ranks are unaffected — the lookahead computes byte-identical
+        features on the same code path (tests/test_pipeline.py).
+
+        HBM note: a lookahead holds the NEXT cluster's device-resident maps
+        (bounded by ``_device_maps_budget``) alongside the current
+        cluster's scoring footprint; at extreme sizes lower
+        ``SIR_DEVICE_MAPS_MAX`` or set ``pipeline_clusters = false``.
+        """
+        la = self._lookahead
+        if la is not None and la[0] == id(plan):
+            self._lookahead = None
+            out = la[1].result()
+        else:
+            out = self._cluster_features_impl(plan)
+        if next_plan is not None and not self._shutdown.is_set():
+            if self.config["tpu"].get("pipeline_clusters", True):
+                from concurrent.futures import ThreadPoolExecutor
+
+                if self._la_pool is None:
+                    self._la_pool = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="shoeprint-lookahead"
+                    )
+                self._lookahead = (
+                    id(next_plan),
+                    self._la_pool.submit(self._cluster_features_impl, next_plan),
+                )
+            else:
+                # compile-overlap only (the round-4 behavior): the next
+                # cluster's prewarm runs while this cluster scores
+                self._spawn_prewarm(next_plan)
+        return out
+
+    def _cluster_features_impl(self, plan):
+        """Ingest + extract one cluster: ``(q_maps, q_valid, g_maps,
+        g_valid, q_files)`` — the pre-scoring stages of the reference's
+        run.py:17-24 body, shared by the full and pruned scoring paths."""
         self._spawn_prewarm(plan)
         crop = self.config["dataset"]["crop"]
         n_threads = self.config["dataset"]["n_processes"]
@@ -1701,12 +1950,7 @@ class Pipeline:
                 else:
                     g_maps, g_valid = self._extract(step, params, g_imgs)
                 self.gallery_cache.put(gkey, g_maps, g_valid)
-        if next_plan is not None:
-            # the next cluster's compiles overlap this cluster's scoring
-            self._spawn_prewarm(next_plan)
-        with stage_timer("score", self.verbose):
-            scores = self._score_cluster(q_maps, q_valid, g_maps, g_valid)
-        return scores, q_files
+        return q_maps, q_valid, g_maps, g_valid, q_files
 
     def close(self) -> None:
         """Retire outstanding prewarm threads.
@@ -1720,6 +1964,18 @@ class Pipeline:
         already finished by the time the real run is done.
         """
         self._shutdown.set()
+        if self._lookahead is not None:
+            # drain (not cancel): the lookahead may be mid-device-call and
+            # abandoning it during interpreter teardown has the same segfault
+            # mode as the prewarm threads below
+            try:
+                self._lookahead[1].result()
+            except Exception:
+                pass  # its cluster will surface the error if ever consumed
+            self._lookahead = None
+        if self._la_pool is not None:
+            self._la_pool.shutdown(wait=True)
+            self._la_pool = None
         for t in self._prewarm_threads:
             t.join()
         self._prewarm_threads.clear()

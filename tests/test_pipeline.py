@@ -490,3 +490,73 @@ def test_device_resident_maps_match_host_path(dataset, tmp_path, monkeypatch):
     monkeypatch.setenv("SIR_DEVICE_MAPS_MAX", str(int(2e9)))
     dev = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
     assert host == dev
+
+
+def test_pruned_scoring_ranks_match_full_path(dataset, tmp_path):
+    """tpu.pruned_scoring (exact-preserving two-pass pruned scoring,
+    retrieval/pruned.py) through the full Pipeline: ranks must be identical
+    to the unpruned engine run on the same dataset — the pruning bound only
+    ever skips pairs that provably rank below the true match."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(RUN_TOML.format(dir=str(dataset)) + "prewarm = false\n")
+    config = load_config(cfg_path)
+    full = [o.ranks.tolist() for o in Pipeline(config, weights_dir=None, verbose=False).run()]
+
+    cfg2 = tmp_path / "run_pruned.toml"
+    cfg2.write_text(
+        RUN_TOML.format(dir=str(dataset))
+        + "prewarm = false\npruned_scoring = true\nprune_channels = 16\n"
+    )
+    config2 = load_config(cfg2)
+    pruned = [o.ranks.tolist() for o in Pipeline(config2, weights_dir=None, verbose=False).run()]
+    assert pruned == full
+
+
+def test_pruned_scoring_rejects_fusion():
+    from shoeprint_image_retrieval_tpu.retrieval.engine import Pipeline as P
+
+    cfg = {
+        "tpu": {"pruned_scoring": True, "fusion_blocks": [3, 5]},
+    }
+    inst = P.__new__(P)  # no dataset needed: the guard fires first
+    inst.config = cfg
+    with pytest.raises(ValueError, match="pruned_scoring"):
+        inst.run_cluster(plan=None)
+
+
+def test_parity_harness_on_synthetic_fixture(dataset, tmp_path, capsys):
+    """run.py --parity (retrieval/parity.py): the TPU pipeline and the CPU
+    oracle rank identically on the synthetic fixture; both CMC lines print
+    and the exit status is 0."""
+    from shoeprint_image_retrieval_tpu.retrieval.parity import run_parity
+
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(RUN_TOML.format(dir=str(dataset)) + "prewarm = false\n")
+    status = run_parity(load_config(cfg_path))
+    out = capsys.readouterr().out
+    assert status == 0
+    assert "PARITY: ranks identical" in out
+    assert out.count("S1:") == 2  # one CMC line per side
+
+
+def test_pipeline_clusters_lookahead_matches_serial(dataset, tmp_path):
+    """tpu.pipeline_clusters (cluster-pipelining lookahead: cluster k+1's
+    ingest + extraction overlap cluster k's scoring) must produce ranks
+    identical to the strictly serial per-cluster run — same code path,
+    byte-identical features, different thread."""
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        RUN_TOML.format(dir=str(dataset))
+        + "prewarm = false\npipeline_clusters = false\n"
+    )
+    serial = [o.ranks.tolist() for o in Pipeline(load_config(cfg_path), weights_dir=None, verbose=False).run()]
+
+    cfg2 = tmp_path / "run_pipelined.toml"
+    cfg2.write_text(
+        RUN_TOML.format(dir=str(dataset))
+        + "prewarm = false\npipeline_clusters = true\n"
+    )
+    pipe = Pipeline(load_config(cfg2), weights_dir=None, verbose=False)
+    overlapped = [o.ranks.tolist() for o in pipe.run()]
+    assert overlapped == serial
+    assert pipe._lookahead is None  # drained by close()
