@@ -53,8 +53,11 @@ from ..ops.pallas.ncc_kernel import (
     auto_probe_rows,
     build_epilogue_grid,
     derive_class_taps,
+    device_hbm_bytes,
+    gallery_block_bytes_per_print,
     pack_gallery_operands,
     pack_kernel_operands,
+    packed_gallery_geometry,
     score_direct_pallas,
     score_packed_operands,
 )
@@ -1033,6 +1036,55 @@ class Pipeline:
                 c_pad=c_pad8, resident_bytes=resident, gt=gt_pack,
                 safety_bytes=int(2.0e9) + mesh_extra,
             )
+            if gb_cfg < g_total and mesh_size == 1 and not force_sharded:
+                # Single-block first: the conservative estimate above
+                # assumes PREBUILT variant stacks held across blocks, but a
+                # one-block run never prebuilds (n_blocks == 1 disables it)
+                # — so check the single-block run's OWN two phase peaks:
+                # (A) fused gallery prep = per-print cache + packing temps
+                # (the gallery_block_bytes_per_print model), (B) scoring =
+                # persistent packed operands + the in-flight variant-build
+                # temps (one rot gather live into the scale einsum's
+                # lane-padded output) + one kernel-operand stack. Measured
+                # on the real v5e at the bench workload (G=300, pb=56):
+                # auto said 237 (2 blocks, tail padded 63->237, 474 scored
+                # print-columns) at 15.9 probes/s; the single block this
+                # check admits scores 300 columns at 18.4 probes/s
+                # (BASELINE.md round-5).
+                hbm = device_hbm_bytes()
+                # shapes only — q_maps/g_maps may be device-resident
+                # jax.Arrays and np.asarray would device_get them wholesale
+                in_b = (int(np.prod(g_maps.shape)) * 4
+                        + q_maps.shape[0] * true_c * hc * wc * 4)
+                per_a = gallery_block_bytes_per_print(
+                    gal_hb, gal_wb, kernel_hw[0], kernel_hw[1],
+                    c_pad=c_pad8, gt=gt_pack,
+                )
+                ws_g, _t, _b, he_g, _w, wi_g, _hp = packed_gallery_geometry(
+                    gal_hb, gal_wb, kernel_hw[0], kernel_hw[1], gt_pack
+                )
+                gops_b = (
+                    c_pad8 * 2 * he_g * wi_g * 4 // gt_pack
+                    + c_pad8 * gal_hb * gt_pack * ws_g * 4 // gt_pack
+                )
+                hc8 = -(-hc // 8) * 8
+                wc_l = -(-wc // 128) * 128
+                tc0_8 = -(-(kernel_hw[0] + 2 * EDGE_CROP) // 8) * 8
+                tc1_l = -(-(kernel_hw[1] + 2 * EDGE_CROP) // 128) * 128
+                rot_b = 4 * pb_est * (1 + n_rot) * true_c * hc8 * wc_l
+                ein_b = (4 * pb_est * max(1, n_scl) * (1 + n_rot)
+                         * true_c * tc0_8 * tc1_l)
+                phase_a = g_total * per_a + in_b
+                phase_b = (g_total * gops_b + rot_b + ein_b + stack_b + in_b)
+                if max(phase_a, phase_b) + int(1.5e9) <= hbm:
+                    gb_cfg = g_total
+            if gb_cfg < g_total:
+                # balance the blocks: the tail block pads to gb and padded
+                # print-columns are scored at full cost — equal blocks of
+                # ceil(G / n_blocks) score ceil(G/n)*n columns instead of
+                # gb*n (G=999 at the solved 237: 1005 vs 1185 columns)
+                n_blocks = -(-g_total // gb_cfg)
+                gb_cfg = -(-(-(-g_total // n_blocks)) // gt_pack) * gt_pack
         gb_cfg = min(gb_cfg, g_total)
         if mesh_size > 1:
             gb_cfg = -(-gb_cfg // mesh_size) * mesh_size
