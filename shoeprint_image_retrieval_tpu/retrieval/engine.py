@@ -1049,8 +1049,8 @@ class Pipeline:
                 # on the real v5e at the bench workload (G=300, pb=56):
                 # auto said 237 (2 blocks, tail padded 63->237, 474 scored
                 # print-columns) at 15.9 probes/s; the single block this
-                # check admits scores 300 columns at 18.4 probes/s
-                # (BASELINE.md round-5).
+                # check admits scores 300 columns at 17.3 probes/s
+                # (reproduced 3x; BASELINE.md round-5).
                 hbm = device_hbm_bytes()
                 # shapes only — q_maps/g_maps may be device-resident
                 # jax.Arrays and np.asarray would device_get them wholesale
