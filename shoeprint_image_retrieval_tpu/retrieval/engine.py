@@ -213,6 +213,11 @@ class Pipeline:
         import threading
 
         self._build_lock = threading.Lock()
+        # staged-plan-upload memo (see _staged_uploads_memo): content-keyed
+        # device copies of the cluster's variant-plan/table arrays, shared
+        # between the prewarm pass and the real scoring call
+        self._staged_memo: dict[bytes, dict] = {}
+        self._staged_memo_lock = threading.Lock()
         # device-residency gate: a prewarm thread's dummy scoring pass and
         # the main thread's real scoring each hold a full auto-sized gallery
         # block (+ variant stacks) on device — auto_gallery_block budgets
@@ -587,6 +592,43 @@ class Pipeline:
             self._variant_plan_memo.pop(next(iter(self._variant_plan_memo)))
         self._variant_plan_memo[memo_key] = out
         return out
+
+    def _staged_uploads_memo(self, stage: dict) -> dict:
+        """Content-memoized device staging of a cluster's plan/table arrays.
+
+        Every array in ``stage`` is derived from image-header geometry
+        (``q_valid`` / ``g_valid``), the config's transform sweep, and the
+        cluster's batch structure — never from feature-map CONTENT — so the
+        compile prewarm (``tpu.prewarm`` runs :meth:`_score_cluster` on
+        zero maps at the real shapes) builds a byte-identical dict.
+        Memoizing on content lets the real scoring call reuse the
+        prewarm's uploads: the per-cluster staging burst (~10-17 MB of
+        variant plans over a ~47 MB/s tunneled link, BASELINE.md round-4
+        decomposition) moves entirely into the prewarm window that
+        overlaps ingest/extraction. Hashing costs ~10 ms; entries hold
+        only plan arrays (~MBs of HBM), bounded at 4 like the host-side
+        variant-plan memo.
+        """
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        for k in sorted(stage):
+            a = np.ascontiguousarray(stage[k])
+            h.update(k.encode())
+            h.update(str(a.dtype).encode())
+            h.update(repr(a.shape).encode())
+            h.update(a.tobytes())
+        key = h.digest()
+        with self._staged_memo_lock:
+            hit = self._staged_memo.get(key)
+            if hit is not None:
+                return hit
+        staged = _stage_uploads(stage)
+        with self._staged_memo_lock:
+            if len(self._staged_memo) >= 4:
+                self._staged_memo.pop(next(iter(self._staged_memo)))
+            self._staged_memo[key] = staged
+        return staged
 
     def _variant_plan_impl(self, q_valid: np.ndarray, feat_canvas: tuple[int, int]):
         comp = self.config["comparison"]
@@ -1336,8 +1378,14 @@ class Pipeline:
         # paid ~5 eager staging dispatches per batch (each a ~13 ms RPC on
         # a tunneled device, benchmarks/bench_cachebuild.py)
         if idx_pops:
+            # tables stack over ALL batches — also under prewarm, which
+            # scores only batch 0: the *_bi executables' table shapes
+            # (lo_all, wins, ...) carry the batch count, so staging only
+            # prewarm's single batch would compile 1-batch signatures the
+            # real multi-batch run cannot reuse (an unoverlapped recompile,
+            # defeating prewarm), and would also miss the staging memo below
             wins_l, slothw_l, smap_l, epi_l = [], [], [], []
-            for lo in score_starts:
+            for lo in starts:
                 wins, uniq, smap = batch_windows[lo]
                 slot_hw = np.full((n_slots, 2), 2 * EDGE_CROP + 8, np.int32)
                 slot_hw[: len(uniq)] = uniq
@@ -1356,7 +1404,7 @@ class Pipeline:
                 "ridx": (rot_idx.astype(np.int16) if hc * wc <= 32767
                          else rot_idx),
                 "rok": rot_ok, "wv": wv, "wh": wh, "shw": scale_hw,
-                "lo_all": np.asarray(score_starts, np.int32),
+                "lo_all": np.asarray(starts, np.int32),
                 "wins": np.stack(wins_l), "slot_hw": np.stack(slothw_l),
                 "smap": np.stack(smap_l),
             }
@@ -1366,7 +1414,7 @@ class Pipeline:
             if fused_prep:
                 stage["g_order"] = order.astype(np.int32)
                 stage["g_valid_sorted"] = np.asarray(g_valid)
-            staged = _stage_uploads(stage)
+            staged = self._staged_uploads_memo(stage)
             plan_d = tuple(
                 staged[k] for k in ("q_valid", "ridx", "rok", "wv", "wh", "shw")
             )

@@ -45,10 +45,42 @@ _SLOW_FILES = {
     "test_ncc_pallas.py",
 }
 
+# Individual tests over ~5 s of single-core wall (measured 2026-08-20 with
+# `pytest -m quick --durations`) also leave the quick tier — file-level
+# tiering alone left quick at ~10 min on a 1-core host (VERDICT r4 weak
+# #5). Each subsystem keeps its sub-5 s oracle tests in quick; full
+# coverage still runs in the plain `pytest tests/` / slow tier. Names are
+# matched with parametrize ids stripped, so one entry retires every param.
+_HEAVY_TESTS = {
+    "test_scripts.py::test_summed_feature_maps_script",      # 292 s
+    "test_scripts.py::test_conv_animation_script",           # 16 s
+    "test_degraded.py::test_degraded_probes_rank_first",     # 82 s
+    "test_degraded.py::test_degraded_backends_identical",    # 47 s
+    "test_clahe.py::test_batched_dynamic_matches_cv2_per_image",  # 43 s
+    "test_clahe.py::test_batched_matches_loop",              # 28 s
+    "test_clahe.py::test_grayscale_bit_exact_vs_cv2",        # 7-26 s/param
+    "test_clahe.py::test_nondefault_tile_grid",              # 25 s
+    "test_clahe.py::test_structured_image_bit_exact",        # 14 s
+    "test_clahe.py::test_rgb_path_bit_exact_vs_cv2",         # 9 s
+    "test_clahe.py::test_rgb_to_lab_bit_exact_vs_cv2",       # 6 s
+    "test_native.py::test_native_rgb_clahe_matches_cv2_and_jnp",  # 31 s
+    "test_native.py::test_native_clahe_matches_device_kernel",    # 15 s
+    "test_convert.py::test_roundtrip_exact",                 # 17-23 s/param
+    "test_rank_stability.py::test_near_tie_backends_agree_above_margin",
+    "test_rank_stability.py::test_near_tie_true_match_ranks_first",
+    "test_ncc_direct.py::test_direct_scores_match_oracle_pairwise",  # 15 s
+    "test_ncc_direct.py::test_direct_matches_fft_path",      # 13 s
+    "test_ncc_direct.py::test_direct_group_sharing_matches_per_template",
+    "test_ncc_direct.py::test_direct_rankings_identical_to_oracle",  # 10 s
+    "test_score_floor.py::test_production_floors_negative_scores",   # 5-9 s
+    "test_ncc.py::test_zero_energy_regions_give_zero_not_nan",       # 6 s
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.path.name in _SLOW_FILES:
+        base = f"{item.path.name}::{item.name.split('[')[0]}"
+        if item.path.name in _SLOW_FILES or base in _HEAVY_TESTS:
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.quick)
