@@ -22,6 +22,7 @@ many distinct image sizes it contains.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
@@ -960,9 +961,18 @@ class Pipeline:
     ) -> np.ndarray:
         true_c = q_maps.shape[1]
         hc, wc = q_maps.shape[2], q_maps.shape[3]
+        # SIR_TIME_STAGES=1: print a host-side wall decomposition of this
+        # call (diagnostic; =2 additionally forces a sync after gallery
+        # prep, which perturbs pipelining but isolates prep's device cost)
+        _tt = (
+            [("f0", time.perf_counter())]
+            if os.environ.get("SIR_TIME_STAGES") and not prewarm else None
+        )
         rot_idx, rot_ok, wv, wh, scale_hw, tc, mode, n_rot, n_scl = self._variant_plan(
             q_valid, (hc, wc)
         )
+        if _tt:
+            _tt.append(("plan", time.perf_counter()))
         kernel_hw = (tc[0] - 2 * EDGE_CROP, tc[1] - 2 * EDGE_CROP)
 
         backend = self._resolve_backend()
@@ -1181,6 +1191,8 @@ class Pipeline:
             use_pallas=use_pallas, dtype=dtype, interpret=interpret,
             class_canvas_hw=class_canvas_hw,
         )
+        if _tt:
+            _tt.append(("bundle", time.perf_counter()))
         build_packed_j = fns.build_packed
         regroup_max_j = fns.regroup_max
         score_packed_j = fns.score_packed
@@ -1415,6 +1427,8 @@ class Pipeline:
                 stage["g_order"] = order.astype(np.int32)
                 stage["g_valid_sorted"] = np.asarray(g_valid)
             staged = self._staged_uploads_memo(stage)
+            if _tt:
+                _tt.append(("stage", time.perf_counter()))
             plan_d = tuple(
                 staged[k] for k in ("q_valid", "ridx", "rok", "wv", "wh", "shw")
             )
@@ -1447,6 +1461,13 @@ class Pipeline:
                 gops = fns.prep_gallery_pops(
                     g_maps, staged["g_order"], staged["g_valid_sorted"]
                 )
+                if _tt:
+                    if os.environ.get("SIR_TIME_STAGES") == "2":
+                        # force completion: pull one element of a leaf
+                        # (block_until_ready is unreliable over the tunnel)
+                        leaf = jax.tree_util.tree_leaves(gops)[0]
+                        np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+                    _tt.append(("prep", time.perf_counter()))
                 cache = None
                 for bi, lo in enumerate(score_starts):
                     dev_rows = fns.score_batch_pops_bi(
@@ -1553,6 +1574,8 @@ class Pipeline:
             # retire this block's device arrays once its scores are enqueued
             cache = None
             gops = None
+        if _tt:
+            _tt.append(("issue", time.perf_counter()))
         if rank_dev:
             if self.verbose:
                 for p_lo, p_hi, _ in pending:
@@ -1562,6 +1585,14 @@ class Pipeline:
             pending.clear()
             return DeviceScores(buf, inv_order, len(q_maps), g_total)
         drain(0)
+        if _tt:
+            _tt.append(("end", time.perf_counter()))
+            deltas = [
+                f"{name} +{(t - _tt[i][1]) * 1e3:.0f}ms"
+                for i, (name, t) in enumerate(_tt[1:])
+            ]
+            print(f"  [stages] {'  '.join(deltas)}  "
+                  f"total {(_tt[-1][1] - _tt[0][1]):.3f}s", flush=True)
         return out[:, inv_order]
 
     def _score_cluster_fft(
